@@ -1,0 +1,108 @@
+"""Benchmark: scenario-batched LP throughput on the local accelerator.
+
+Solves a batch of random feasible standard-form LPs with the batched HSD
+solver (f32 + iterative refinement on TPU) and compares wall-clock
+throughput against scipy's HiGHS (the strongest available CPU LP solver,
+standing in for the reference CPU solver) solving the same instances
+sequentially.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_raw_instances(nb, m, n, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(nb):
+        A = rng.standard_normal((m, n))
+        u = rng.uniform(1.0, 4.0, n)
+        x0 = u * rng.uniform(0.2, 0.8, n)
+        b = A @ x0
+        c = rng.standard_normal(n)
+        out.append((A, b, c, u))
+    return out
+
+
+def bench_tpu(raws, dtype="float32", tol=3e-4):
+    import jax
+    import jax.numpy as jnp
+
+    from tulip_tpu.ipm.batch import batched_hsd_solve, stack_lps
+    from tulip_tpu.ipm.data import make_lp_data
+    from tulip_tpu.ipm.hsd import HSDOptions
+    from tulip_tpu.kkt import DenseK1Backend
+    from tulip_tpu.status import TerminationStatus
+
+    dt = jnp.dtype(dtype)
+    lps = [make_lp_data(A, b, c, 0.0, np.zeros(len(c)), u, dtype=dt)
+           for (A, b, c, u) in raws]
+    dats = stack_lps(lps)
+    backend = DenseK1Backend(refinement_steps=1 if dtype == "float32" else 0)
+    opts = HSDOptions(TolerancePFeas=tol, ToleranceDFeas=tol,
+                      ToleranceRGap=tol, ToleranceIFeas=tol,
+                      PRegMin=1e-6, DRegMin=1e-6)
+
+    log(f"compiling batched solve: B={len(raws)} "
+        f"m={raws[0][0].shape[0]} n={raws[0][0].shape[1]} {dtype} "
+        f"on {jax.devices()[0].platform}")
+    t0 = time.time()
+    out = jax.block_until_ready(batched_hsd_solve(backend, opts, dats))
+    log(f"first call (incl. compile): {time.time() - t0:.2f}s")
+
+    t0 = time.time()
+    out = jax.block_until_ready(batched_hsd_solve(backend, opts, dats))
+    wall = time.time() - t0
+
+    st = np.asarray(out.status)
+    n_opt = int((st == int(TerminationStatus.OPTIMAL)).sum())
+    iters = np.asarray(out.niter)
+    log(f"solved {n_opt}/{len(raws)} optimal, "
+        f"mean iters {iters.mean():.1f}, wall {wall:.3f}s")
+    return len(raws) / wall, n_opt, out
+
+
+def bench_highs(raws, n_sample=64):
+    from scipy.optimize import linprog
+
+    sample = raws[:n_sample]
+    t0 = time.time()
+    n_ok = 0
+    for (A, b, c, u) in sample:
+        r = linprog(c, A_eq=A, b_eq=b, bounds=[(0, ub) for ub in u],
+                    method="highs")
+        n_ok += (r.status == 0)
+    wall = time.time() - t0
+    log(f"HiGHS: {n_ok}/{len(sample)} optimal in {wall:.3f}s "
+        f"({len(sample)/wall:.1f} solves/s)")
+    return len(sample) / wall
+
+
+def main():
+    NB, M, N = 1024, 48, 96
+    raws = make_raw_instances(NB, M, N)
+
+    tpu_rate, n_opt, _ = bench_tpu(raws)
+    highs_rate = bench_highs(raws)
+
+    result = {
+        "metric": "batched_lp_throughput",
+        "value": round(tpu_rate, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(tpu_rate / highs_rate, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Batched (vmap) solver tests — no reference analogue (SURVEY §4: batched
+tests must be designed fresh): per-instance convergence, agreement with
+single solves and with scipy's HiGHS, and sharding over a device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tulip_tpu  # noqa: F401
+from tulip_tpu.ipm.batch import batched_hsd_solve, pad_lp, shard_batch, stack_lps
+from tulip_tpu.ipm.data import make_lp_data
+from tulip_tpu.ipm.hsd import HSDOptions, hsd_solve
+from tulip_tpu.kkt import DenseK1Backend
+from tulip_tpu.status import TerminationStatus
+
+OPT = int(TerminationStatus.OPTIMAL)
+
+
+def random_feasible_lp(rng, m=6, n=12, dtype=np.float64):
+    """Random standard-form LP with known-feasible interior: A random,
+    b = A x0 for x0 in the interior of [0, u]."""
+    A = rng.standard_normal((m, n))
+    u = rng.uniform(1.0, 4.0, n)
+    x0 = u * rng.uniform(0.2, 0.8, n)
+    b = A @ x0
+    c = rng.standard_normal(n)
+    return make_lp_data(A, b, c, 0.0, l=np.zeros(n), u=u,
+                        dtype=dtype), (A, b, c, u)
+
+
+def scipy_objective(A, b, c, u):
+    from scipy.optimize import linprog
+    r = linprog(c, A_eq=A, b_eq=b, bounds=[(0, ub) for ub in u],
+                method="highs")
+    assert r.status == 0
+    return r.fun
+
+
+def test_batch_matches_single_and_scipy():
+    rng = np.random.default_rng(42)
+    lps, raws = zip(*[random_feasible_lp(rng) for _ in range(8)])
+    dats = stack_lps(list(lps))
+    backend = DenseK1Backend()
+    opts = HSDOptions()
+    out = batched_hsd_solve(backend, opts, dats)
+
+    assert np.all(np.asarray(out.status) == OPT)
+    for k in range(8):
+        z_scipy = scipy_objective(*raws[k])
+        assert abs(float(out.pobj[k]) - z_scipy) < 1e-7 * max(1, abs(z_scipy))
+        # Batched result equals the single solve.
+        single = hsd_solve(lps[k], backend, opts)
+        assert abs(float(out.pobj[k]) - float(single.pobj)) < 1e-7
+
+
+def test_batch_mixed_shapes_padding():
+    rng = np.random.default_rng(7)
+    lp1, raw1 = random_feasible_lp(rng, m=4, n=9)
+    lp2, raw2 = random_feasible_lp(rng, m=6, n=12)
+    dats = stack_lps([lp1, lp2])
+    out = batched_hsd_solve(DenseK1Backend(), HSDOptions(), dats)
+    assert np.all(np.asarray(out.status) == OPT)
+    for k, raw in enumerate([raw1, raw2]):
+        z = scipy_objective(*raw)
+        assert abs(float(out.pobj[k]) - z) < 1e-7 * max(1, abs(z))
+
+
+def test_pad_preserves_solution():
+    rng = np.random.default_rng(3)
+    lp, raw = random_feasible_lp(rng)
+    padded = pad_lp(lp, lp.nrow + 3, lp.ncol + 5)
+    out = hsd_solve(padded, DenseK1Backend(), HSDOptions())
+    assert int(out.status) == OPT
+    z = scipy_objective(*raw)
+    assert abs(float(out.pobj) - z) < 1e-7 * max(1, abs(z))
+
+
+def test_batch_sharded_over_mesh():
+    """Batch axis sharded over an 8-device CPU mesh."""
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest must provide 8 virtual devices"
+    mesh = Mesh(np.array(devs[:8]), ("batch",))
+
+    rng = np.random.default_rng(0)
+    lps, raws = zip(*[random_feasible_lp(rng) for _ in range(8)])
+    dats = shard_batch(stack_lps(list(lps)), mesh)
+    out = batched_hsd_solve(DenseK1Backend(), HSDOptions(), dats)
+    assert np.all(np.asarray(out.status) == OPT)
+    for k in range(8):
+        z = scipy_objective(*raws[k])
+        assert abs(float(out.pobj[k]) - z) < 1e-7 * max(1, abs(z))
+
+
+def test_batch_heterogeneous_statuses():
+    """A batch mixing optimal / infeasible / unbounded instances must
+    resolve each lane independently."""
+    dt = np.float64
+    # Optimal: min x1+2x2; x1+x2=1; x1-x2=0; 0<=x<=1.
+    opt = make_lp_data([[1, 1], [1, -1]], [1, 0], [1, 2], 0.0,
+                       [0, 0], [1, 1], dtype=dt)
+    # Infeasible: x1+x2=1; x1-x2=3; 0<=x<=1 (needs x1=2 > u).
+    inf = make_lp_data([[1, 1], [1, -1]], [1, 3], [1, 1], 0.0,
+                       [0, 0], [1, 1], dtype=dt)
+    # Unbounded: min -x1-x2 st x1-x2=1, x>=0 — pad x with huge bounds off.
+    ubd = make_lp_data([[1, -1], [0, 0]], [1, 0], [-1, -1], 0.0,
+                       [0, 0], [np.inf, np.inf], dtype=dt)
+    dats = stack_lps([opt, inf, ubd])
+    out = batched_hsd_solve(DenseK1Backend(), HSDOptions(), dats)
+    st = np.asarray(out.status)
+    assert st[0] == OPT
+    assert st[1] == int(TerminationStatus.PRIMAL_INFEASIBLE)
+    assert st[2] == int(TerminationStatus.DUAL_INFEASIBLE)

@@ -1,0 +1,93 @@
+"""KKT backend conformance tests.
+
+Mirrors the reference's per-backend contract tests
+(reference: test/KKT/*): every backend × supported arithmetic goes through
+the shared conformance kit on a fixed small matrix.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tulip_tpu.kkt import (CgK1Backend, DenseK1Backend, DenseK2Backend,
+                           MinresK2Backend, PallasK1Backend, make_backend)
+from tulip_tpu.kkt.dense_ldl import ldl_nopivot
+from tulip_tpu.kkt.testkit import run_ls_tests
+
+# Fixed 2x4 test matrix (same shape role as reference test/KKT fixtures).
+A_np = np.array([
+    [1.0, 0.0, 2.0, -1.0],
+    [0.0, 1.0, -1.0, 3.0],
+])
+
+BACKENDS = [
+    DenseK1Backend(),
+    DenseK1Backend(refinement_steps=2),
+    DenseK2Backend(),
+    PallasK1Backend(),          # falls back to XLA path off-TPU
+    CgK1Backend(),
+    MinresK2Backend(),
+]
+
+
+@pytest.mark.parametrize("dtype", [jnp.float64, jnp.float32])
+@pytest.mark.parametrize("backend", BACKENDS, ids=lambda b: b.name + (
+    f"-r{b.refinement_steps}" if b.refinement_steps else ""))
+def test_conformance(backend, dtype):
+    A = jnp.asarray(A_np, dtype=dtype)
+    run_ls_tests(A, backend)
+
+
+def test_make_backend_registry():
+    assert make_backend().name == "dense"
+    assert make_backend(system="K2").name == "dense-ldl"
+    assert make_backend("cg").name == "cg"
+    with pytest.raises(ValueError):
+        make_backend("cg", system="K2")
+
+
+def test_ldl_nopivot_quasidefinite():
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((3, 5))
+    K = np.zeros((8, 8))
+    K[:5, :5] = -np.eye(5) * 2.0
+    K[:5, 5:] = A.T
+    K[5:, :5] = A
+    K[5:, 5:] = np.eye(3) * 0.5
+    L, d, ok = ldl_nopivot(jnp.asarray(K))
+    assert bool(ok)
+    K_rec = np.asarray(L) @ np.diag(np.asarray(d)) @ np.asarray(L).T
+    np.testing.assert_allclose(K_rec, K, atol=1e-10)
+
+
+def test_update_reports_failure_on_indefinite():
+    # regD = -1 makes K1 normal equations indefinite -> Cholesky fails.
+    A = jnp.asarray(A_np)
+    b = DenseK1Backend()
+    st = b.setup(A)
+    st, ok = b.update(st, jnp.ones(4), jnp.ones(4) * 1e-12,
+                      -jnp.ones(2) * 100.0)
+    assert not bool(ok)
+
+
+def test_refinement_improves_f32():
+    rng = np.random.default_rng(1)
+    A = jnp.asarray(rng.standard_normal((20, 40)), dtype=jnp.float32)
+    theta_inv = jnp.asarray(10.0 ** rng.uniform(-6, 6, 40), jnp.float32)
+    regP = jnp.full(40, 1e-6, jnp.float32)
+    regD = jnp.full(20, 1e-6, jnp.float32)
+    xi_p = jnp.asarray(rng.standard_normal(20), jnp.float32)
+    xi_d = jnp.asarray(rng.standard_normal(40), jnp.float32)
+
+    def resid(backend):
+        st = backend.setup(A)
+        st, ok = backend.update(st, theta_inv, regP, regD)
+        assert bool(ok)
+        dx, dy = backend.solve(st, xi_p, xi_d)
+        rd = xi_d - (-(theta_inv + regP) * dx + A.T @ dy)
+        rp = xi_p - (A @ dx + regD * dy)
+        return max(float(jnp.max(jnp.abs(rd))), float(jnp.max(jnp.abs(rp))))
+
+    r0 = resid(DenseK1Backend())
+    r2 = resid(DenseK1Backend(refinement_steps=2))
+    assert r2 <= r0

@@ -1,0 +1,53 @@
+"""Command-line interface.
+
+Mirrors the reference CLI (reference: app/src/TulipCL.jl:20-91)::
+
+    python -m tulip_tpu.cli [--TimeLimit T] [--IterationsLimit N]
+                            [--Presolve L] [--Method HSD|MPC] file.mps
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from . import Model, load_problem, set_parameter
+from .status import TerminationStatus
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="tulip_tpu",
+        description="TPU-native interior-point LP solver")
+    p.add_argument("finst", help="MPS instance file (.mps, .mps.gz, .mps.bz2)")
+    p.add_argument("--TimeLimit", type=float, default=float("inf"))
+    p.add_argument("--IterationsLimit", type=int, default=100)
+    p.add_argument("--Presolve", type=int, default=1)
+    p.add_argument("--Method", choices=["HSD", "MPC"], default="HSD")
+    p.add_argument("--KKTBackend", default=None)
+    p.add_argument("--Dtype", default="float64")
+    p.add_argument("--OutputLevel", type=int, default=1)
+    args = p.parse_args(argv)
+
+    m = Model()
+    try:
+        load_problem(m, args.finst)
+    except FileNotFoundError:
+        print(f"tulip_tpu: error: no such file: {args.finst}",
+              file=sys.stderr)
+        return 2
+    m.params.OutputLevel = args.OutputLevel
+    m.params.ArithmeticDtype = args.Dtype
+    set_parameter(m, "IPM_TimeLimit", args.TimeLimit)
+    set_parameter(m, "IPM_IterationsLimit", args.IterationsLimit)
+    set_parameter(m, "Presolve_Level", args.Presolve)
+    set_parameter(m, "IPM_Algorithm", args.Method)
+    if args.KKTBackend:
+        set_parameter(m, "KKT_Backend", args.KKTBackend)
+
+    st = m.optimize()
+    return 0 if st == TerminationStatus.OPTIMAL else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

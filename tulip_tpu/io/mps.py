@@ -1,0 +1,213 @@
+"""Free-format MPS reader with transparent .gz / .bz2 decompression.
+
+Plays the role of the reference's QPSReader usage
+(reference: src/Interfaces/tulip_julia_api.jl:18-39): parses the LP subset
+of MPS — NAME / OBJSENSE / ROWS / COLUMNS / RHS / RANGES / BOUNDS / ENDATA —
+into a :class:`tulip_tpu.problem.ProblemData`.
+
+Conventions:
+- First N row is the objective (later N rows are ignored rows).
+- An RHS entry on the objective row sets the objective constant to its
+  negation (standard MPS convention).
+- RANGES on row with rhs b and range r: E row → [b, b+r] if r >= 0 else
+  [b+r, b]; L row → [b-|r|, b]; G row → [b, b+|r|].
+- Default variable bounds are [0, +inf). Bound types LO/UP/FX/FR/MI/PL are
+  supported; BV/LI/UI are accepted and treated as their continuous
+  relaxations.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+from ..problem import INF, ProblemData
+from ..utils import open_maybe_compressed
+
+
+class MPSError(ValueError):
+    pass
+
+
+def read_mps(fname: str) -> ProblemData:
+    with open_maybe_compressed(fname) as f:
+        return parse_mps_lines(f, name_hint=fname)
+
+
+def parse_mps_lines(lines, name_hint: str = "") -> ProblemData:
+    section = None
+    name = ""
+    objsense_min = True
+
+    row_types: Dict[str, str] = {}
+    row_order: List[str] = []
+    obj_row: Optional[str] = None
+
+    col_order: List[str] = []
+    col_idx: Dict[str, int] = {}
+    obj_coefs: Dict[int, float] = {}
+    entries: List[Tuple[str, int, float]] = []  # (row name, col idx, val)
+
+    rhs: Dict[str, float] = {}
+    obj_const = 0.0
+    ranges: Dict[str, float] = {}
+
+    lo: Dict[int, float] = {}
+    up: Dict[int, float] = {}
+    explicit_fr: set = set()
+
+    in_integer = False
+
+    for raw in lines:
+        line = raw.rstrip("\n")
+        if not line.strip() or line.lstrip().startswith("*"):
+            continue
+        is_header = not line[0].isspace()
+        tok = line.split()
+
+        if is_header:
+            head = tok[0].upper()
+            if head == "NAME":
+                name = tok[1] if len(tok) > 1 else ""
+                section = "NAME"
+            elif head in ("ROWS", "COLUMNS", "RHS", "RANGES", "BOUNDS",
+                          "OBJSENSE", "ENDATA"):
+                section = head
+                if head == "ENDATA":
+                    break
+            else:
+                raise MPSError(f"Unknown MPS section: {tok[0]}")
+            continue
+
+        if section == "OBJSENSE":
+            objsense_min = tok[0].upper() in ("MIN", "MINIMIZE")
+        elif section == "ROWS":
+            rtype = tok[0].upper()
+            rname = tok[1]
+            if rtype == "N":
+                if obj_row is None:
+                    obj_row = rname
+                row_types[rname] = "N"
+            elif rtype in ("E", "L", "G"):
+                row_types[rname] = rtype
+                row_order.append(rname)
+            else:
+                raise MPSError(f"Unknown row type {rtype}")
+        elif section == "COLUMNS":
+            # Marker lines toggle integrality (accepted, relaxed).
+            if len(tok) >= 3 and tok[1].strip("'\"").upper() == "MARKER":
+                mk = tok[2].strip("'\"").upper()
+                in_integer = mk == "INTORG"
+                continue
+            cname = tok[0]
+            if cname not in col_idx:
+                col_idx[cname] = len(col_order)
+                col_order.append(cname)
+            j = col_idx[cname]
+            pairs = tok[1:]
+            if len(pairs) % 2 != 0:
+                raise MPSError(f"Malformed COLUMNS line: {line!r}")
+            for rname, val in zip(pairs[::2], pairs[1::2]):
+                v = float(val)
+                if rname == obj_row:
+                    obj_coefs[j] = obj_coefs.get(j, 0.0) + v
+                elif rname in row_types:
+                    if row_types[rname] != "N":
+                        entries.append((rname, j, v))
+                else:
+                    raise MPSError(f"Unknown row {rname} in COLUMNS")
+        elif section == "RHS":
+            pairs = tok[1:]
+            if len(pairs) % 2 != 0:
+                raise MPSError(f"Malformed RHS line: {line!r}")
+            for rname, val in zip(pairs[::2], pairs[1::2]):
+                v = float(val)
+                if rname == obj_row:
+                    obj_const = -v
+                elif rname in row_types:
+                    rhs[rname] = v
+                else:
+                    raise MPSError(f"Unknown row {rname} in RHS")
+        elif section == "RANGES":
+            pairs = tok[1:]
+            for rname, val in zip(pairs[::2], pairs[1::2]):
+                ranges[rname] = float(val)
+        elif section == "BOUNDS":
+            btype = tok[0].upper()
+            # BOUNDS lines: <type> <bndname> <colname> [value]
+            cname = tok[2] if len(tok) >= 3 else tok[1]
+            if cname not in col_idx:
+                col_idx[cname] = len(col_order)
+                col_order.append(cname)
+            j = col_idx[cname]
+            val = float(tok[3]) if len(tok) >= 4 else 0.0
+            if btype == "LO":
+                lo[j] = val
+            elif btype == "UP":
+                up[j] = val
+                # Classic MPS quirk: UP with negative value and no explicit
+                # lower bound makes the variable lower bound -inf.
+                if val < 0.0 and j not in lo:
+                    lo[j] = -INF
+            elif btype == "FX":
+                lo[j] = val
+                up[j] = val
+            elif btype == "FR":
+                lo[j] = -INF
+                up[j] = INF
+                explicit_fr.add(j)
+            elif btype == "MI":
+                lo[j] = -INF
+            elif btype == "PL":
+                up[j] = INF
+            elif btype == "BV":
+                lo[j] = 0.0
+                up[j] = 1.0
+            elif btype == "LI":
+                lo[j] = val
+            elif btype == "UI":
+                up[j] = val
+            else:
+                raise MPSError(f"Unknown bound type {btype}")
+        elif section in ("NAME", None):
+            continue
+
+    _ = in_integer, explicit_fr  # integrality relaxed for LP
+
+    # Assemble ProblemData.
+    pb = ProblemData(name or name_hint)
+    pb.objsense = objsense_min
+    pb.obj0 = obj_const
+
+    n = len(col_order)
+    for jj, cname in enumerate(col_order):
+        pb.add_variable((), (), obj_coefs.get(jj, 0.0),
+                        lo.get(jj, 0.0), up.get(jj, INF), cname)
+
+    # Row bounds from type + rhs + ranges.
+    row_entries: Dict[str, Dict[int, float]] = {r: {} for r in row_order}
+    for rname, j, v in entries:
+        row_entries[rname][j] = row_entries[rname].get(j, 0.0) + v
+
+    for rname in row_order:
+        rtype = row_types[rname]
+        b = rhs.get(rname, 0.0)
+        if rtype == "E":
+            lb, ub = b, b
+        elif rtype == "L":
+            lb, ub = -INF, b
+        else:  # G
+            lb, ub = b, INF
+        if rname in ranges:
+            r = ranges[rname]
+            if rtype == "E":
+                lb, ub = (b, b + r) if r >= 0 else (b + r, b)
+            elif rtype == "L":
+                lb, ub = b - abs(r), b
+            else:  # G
+                lb, ub = b, b + abs(r)
+        cols = sorted(row_entries[rname])
+        pb.add_constraint(cols, [row_entries[rname][j] for j in cols],
+                          lb, ub, rname)
+
+    _ = n
+    return pb

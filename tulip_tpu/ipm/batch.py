@@ -1,0 +1,99 @@
+"""Scenario-batched LP solves: vmap over the whole IPM.
+
+The reference is strictly single-problem, single-thread (reference:
+SURVEY §2.6; src/model.jl:73 only sets BLAS threads). On TPU the win comes
+from batching: because the entire HSD solve is pure jitted code over
+pytrees (:mod:`.hsd`), ``vmap`` gives a batched solver for free — every
+iterate, residual, factorization and backsolve gains a leading batch
+dimension, so the per-iteration work becomes batched GEMMs / batched
+Cholesky that saturate the MXU.
+
+Convergence is per-instance: ``lax.while_loop`` under ``vmap`` keeps
+iterating until every lane's predicate is false, while each converged
+lane's terminal status freezes its state through the ``lax.cond`` →
+``select`` masking in ``hsd_iteration``.
+
+Heterogeneous instances are padded to a common (m, n) envelope by
+:func:`pad_lp`: padded rows are `0·x = 0` (with a unit diagonal slack
+pinned to 0 … not needed — a zero row with b=0 is harmless to the IPM
+because regularization keeps AΘAᵀ+Rd nonsingular), padded columns are
+fixed at 0 by bounds l = u = 0.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data import LPData
+from .hsd import HSDOptions, HSDState, hsd_iteration, init_state
+
+_UNKNOWN = 1  # TerminationStatus.UNKNOWN
+
+
+def pad_lp(dat: LPData, m_pad: int, n_pad: int) -> LPData:
+    """Embed an (m, n) problem into an (m_pad, n_pad) envelope.
+
+    Padded columns get c = 0 and bounds l = u = 0 (both flags on), pinning
+    them to zero; padded rows are all-zero with b = 0, which the dual
+    regularization keeps nonsingular and whose y components converge to 0.
+    """
+    m, n = dat.nrow, dat.ncol
+    dm, dn = m_pad - m, n_pad - n
+    if dm < 0 or dn < 0:
+        raise ValueError("pad target smaller than problem")
+    one = jnp.ones(dn, dtype=dat.c.dtype)
+    return LPData(
+        A=jnp.pad(dat.A, ((0, dm), (0, dn))),
+        b=jnp.pad(dat.b, (0, dm)),
+        c=jnp.pad(dat.c, (0, dn)),
+        c0=dat.c0,
+        l=jnp.pad(dat.l, (0, dn)),
+        u=jnp.pad(dat.u, (0, dn)),
+        lflag=jnp.concatenate([dat.lflag, one]),
+        uflag=jnp.concatenate([dat.uflag, one]),
+    )
+
+
+def stack_lps(dats: List[LPData]) -> LPData:
+    """Stack equal- or mixed-shape LPs into one batched LPData, padding to
+    the common envelope."""
+    m_pad = max(d.nrow for d in dats)
+    n_pad = max(d.ncol for d in dats)
+    padded = [pad_lp(d, m_pad, n_pad) for d in dats]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *padded)
+
+
+def _solve_one(backend, opts: HSDOptions, dat: LPData) -> HSDState:
+    state = init_state(dat, backend)
+
+    def cond(s):
+        return s.status == _UNKNOWN
+
+    def body(s):
+        return hsd_iteration(backend, opts, dat, s)
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+@partial(jax.jit, static_argnames=("backend", "opts"))
+def batched_hsd_solve(backend, opts: HSDOptions, dats: LPData) -> HSDState:
+    """Solve a batch of LPs (leading axis on every LPData leaf)."""
+    return jax.vmap(lambda d: _solve_one(backend, opts, d))(dats)
+
+
+def shard_batch(dats: LPData, mesh, axis: str = "batch") -> LPData:
+    """Place a stacked batch with its leading axis sharded over ``mesh``;
+    under jit the whole batched solve then partitions across devices with
+    zero collectives (embarrassingly parallel over ICI-connected chips)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(x):
+        spec = P(axis, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, dats)

@@ -1,0 +1,80 @@
+"""KKT linear-system backends.
+
+The IPM needs, at every iteration, solutions of the symmetric quasi-definite
+**augmented system** (reference: src/KKT/KKT.jl:65-100)::
+
+    [-(Θ⁻¹ + Rp)   Aᵀ] [dx]   [ξd]
+    [   A          Rd] [dy] = [ξp]
+
+Backends implement the reference's 3-function contract, re-designed as pure
+functions over pytree state so that update/solve jit, vmap (scenario batches)
+and shard (multi-chip) transparently:
+
+- ``setup(A) -> state``: host-side; may run symbolic analysis. ``state`` is a
+  pytree of device arrays.
+- ``update(state, theta_inv, regP, regD) -> (state, ok)``: device-side
+  numeric factorization. ``ok`` is a boolean scalar instead of the
+  reference's PosDefException — exceptions don't exist inside jit, so the
+  IPM's regularization-bump retry (reference: src/IPM/HSD/step.jl:34-51)
+  branches on this flag with ``lax.while_loop``.
+- ``solve(state, xi_p, xi_d) -> (dx, dy)``: device-side backsolves.
+
+Backend objects themselves are immutable static configuration (hashable), so
+they can be closed over / passed as static args to jit.
+
+Systems (reference: src/KKT/systems.jl): K1 = normal equations
+``(A(Θ⁻¹+Rp)⁻¹Aᵀ + Rd) dy = ...``; K2 = the augmented system itself.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Type
+
+from .base import KKTBackend
+from .dense import DenseK1Backend
+from .dense_ldl import DenseK2Backend
+from .krylov import CgK1Backend, MinresK2Backend
+from .pallas_chol import PallasK1Backend
+
+_REGISTRY: Dict[str, Type[KKTBackend]] = {}
+
+
+def register(cls: Type[KKTBackend]) -> Type[KKTBackend]:
+    _REGISTRY[cls.name] = cls
+    return cls
+
+
+for _cls in (DenseK1Backend, DenseK2Backend, CgK1Backend, MinresK2Backend,
+             PallasK1Backend):
+    register(_cls)
+
+
+def available_backends() -> Dict[str, Type[KKTBackend]]:
+    return dict(_REGISTRY)
+
+
+def make_backend(name=None, system=None, refinement_steps: int = 0,
+                 **kwargs) -> KKTBackend:
+    """Instantiate a backend by name (default: dense K1, like the
+    reference's Float64 default resolving to a direct method,
+    reference: src/KKT/KKT.jl:134-141 — dense because MXU-tiled dense
+    Cholesky is the TPU-native direct method)."""
+    if name is None:
+        name = "dense" if system in (None, "K1") else "dense-ldl"
+    cls = _REGISTRY[name]
+    if system is not None and system not in cls.systems:
+        raise ValueError(f"backend {name!r} does not support system {system!r}")
+    return cls(refinement_steps=refinement_steps, **kwargs)
+
+
+__all__ = [
+    "KKTBackend",
+    "DenseK1Backend",
+    "DenseK2Backend",
+    "CgK1Backend",
+    "MinresK2Backend",
+    "PallasK1Backend",
+    "make_backend",
+    "available_backends",
+    "register",
+]

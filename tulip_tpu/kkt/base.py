@@ -1,0 +1,62 @@
+"""KKT backend base class: the setup/update/solve contract."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class KKTBackend:
+    """Immutable static configuration for a KKT solver backend.
+
+    Subclasses define ``name`` / ``systems`` class attrs and implement
+    ``setup`` / ``update`` / ``solve``. Instances are hashable (frozen
+    dataclass) so jit treats them as static.
+
+    ``refinement_steps``: fixed count of iterative-refinement sweeps applied
+    after each solve. The reference leaves refinement as a TODO
+    (reference: src/KKT/Dense/lapack.jl:117); on TPU it is what lets
+    f32 runs approach f64-grade residuals.
+    """
+
+    refinement_steps: int = 0
+
+    name = "abstract"
+    systems: Tuple[str, ...] = ()
+
+    # -- introspection (reference: src/KKT/KKT.jl:103-121) ---------------
+    def arithmetic(self, state) -> str:
+        return "unknown"
+
+    def linear_system(self) -> str:
+        return self.systems[0] if self.systems else "unknown"
+
+    # -- contract --------------------------------------------------------
+    def setup(self, A: jnp.ndarray) -> Any:
+        raise NotImplementedError
+
+    def update(self, state: Any, theta_inv: jnp.ndarray,
+               regP: jnp.ndarray, regD: jnp.ndarray) -> Tuple[Any, jnp.ndarray]:
+        raise NotImplementedError
+
+    def solve(self, state: Any, xi_p: jnp.ndarray,
+              xi_d: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        raise NotImplementedError
+
+    # -- shared refinement helper ---------------------------------------
+    def _refine(self, state, xi_p, xi_d, dx, dy, base_solve):
+        """Iterative refinement on the augmented system.
+
+        Residuals: rd = ξd - (-(Θ⁻¹+Rp)dx + Aᵀdy), rp = ξp - (A dx + Rd dy);
+        correction solved with the existing factorization.
+        """
+        for _ in range(self.refinement_steps):
+            rd = xi_d - (-(state.theta_reg * dx) + state.A.T @ dy)
+            rp = xi_p - (state.A @ dx + state.regD * dy)
+            ddx, ddy = base_solve(state, rp, rd)
+            dx = dx + ddx
+            dy = dy + ddy
+        return dx, dy

@@ -1,0 +1,85 @@
+"""Dense K1 (normal equations) backend.
+
+Solves the augmented system by pivoting on its (1,1) block: with
+``D = (Θ⁻¹ + Rp)⁻¹`` the Schur complement is the SPD normal-equations matrix
+``K = A D Aᵀ + Rd``, factorized by dense Cholesky
+(reference semantics: src/KKT/Dense/lapack.jl:65-119; K1 system
+src/KKT/systems.jl:34-54).
+
+TPU-first design notes:
+- ``K = (A √D)(A √D)ᵀ`` is a single large GEMM → MXU. The column scaling and
+  the diagonal add fuse into the matmul's epilogue under XLA.
+- ``jnp.linalg.cholesky`` lowers to XLA's blocked Cholesky; non-SPD inputs
+  yield NaNs, which we turn into the boolean ``ok`` flag the IPM's
+  regularization ladder branches on (no exceptions under jit).
+- Methods are pure over ``DenseK1State`` with unbatched shapes; scenario
+  batching is ``vmap`` at the IPM level.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .base import KKTBackend
+
+
+class DenseK1State(NamedTuple):
+    A: jnp.ndarray          # (m, n) constraint matrix (constant)
+    d: jnp.ndarray          # (n,)  D = (Θ⁻¹ + Rp)⁻¹ diagonal
+    theta_reg: jnp.ndarray  # (n,)  Θ⁻¹ + Rp (for refinement residuals)
+    regD: jnp.ndarray       # (m,)
+    L: jnp.ndarray          # (m, m) Cholesky factor of K
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseK1Backend(KKTBackend):
+    name = "dense"
+    systems = ("K1",)
+
+    def arithmetic(self, state) -> str:
+        return str(state.A.dtype)
+
+    def linear_system(self) -> str:
+        return "Normal equations (K1)"
+
+    def setup(self, A: jnp.ndarray) -> DenseK1State:
+        m, n = A.shape
+        dt = A.dtype
+        return DenseK1State(
+            A=A,
+            d=jnp.ones(n, dtype=dt),
+            theta_reg=jnp.ones(n, dtype=dt),
+            regD=jnp.ones(m, dtype=dt),
+            L=jnp.eye(m, dtype=dt),
+        )
+
+    def update(self, state: DenseK1State, theta_inv, regP, regD,
+               ) -> Tuple[DenseK1State, jnp.ndarray]:
+        A = state.A
+        theta_reg = theta_inv + regP
+        d = 1.0 / theta_reg
+        B = A * jnp.sqrt(d)[None, :]
+        K = B @ B.T + jnp.diag(regD)
+        L = jnp.linalg.cholesky(K)
+        ok = jnp.all(jnp.isfinite(L))
+        # Replace a failed factor with identity so downstream solves stay
+        # finite while the regularization-bump loop retries.
+        L = jnp.where(ok, L, jnp.eye(K.shape[-1], dtype=K.dtype))
+        return (DenseK1State(A=A, d=d, theta_reg=theta_reg, regD=regD, L=L),
+                ok)
+
+    def _base_solve(self, state: DenseK1State, xi_p, xi_d):
+        A, d, L = state.A, state.d, state.L
+        rhs = xi_p + A @ (d * xi_d)
+        w = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+        dy = jax.scipy.linalg.solve_triangular(L.T, w, lower=False)
+        dx = d * (A.T @ dy - xi_d)
+        return dx, dy
+
+    def solve(self, state: DenseK1State, xi_p, xi_d):
+        dx, dy = self._base_solve(state, xi_p, xi_d)
+        return self._refine(state, xi_p, xi_d, dx, dy, self._base_solve)

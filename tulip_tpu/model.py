@@ -1,0 +1,197 @@
+"""User-facing Model and the optimize driver.
+
+Orchestrates presolve → standard form → IPM → solution extraction →
+postsolve (reference: src/model.jl:67-154).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .ipm.data import lp_data_from_problem
+from .ipm.hsd import HSDOptions, hsd_solve
+from .ipm.mpc import MPCOptions, mpc_solve
+from .kkt import make_backend
+from .params import Parameters
+from .presolve import PresolveData, postsolve
+from .problem import ProblemData
+from .solution import Solution
+from .status import SolutionStatus, TerminationStatus
+
+
+class Model:
+    """LP model: parameters + problem data + (after optimize) solution
+    (reference: src/model.jl:1-37)."""
+
+    def __init__(self, params: Optional[Parameters] = None):
+        self.params = params or Parameters()
+        self.status = TerminationStatus.NOT_CALLED
+        self.pbdata = ProblemData()
+        self.presolve_data: Optional[PresolveData] = None
+        self.solver_state = None  # final device-side IPM state
+        self.solution: Optional[Solution] = None
+        self.solve_time = 0.0
+        self.barrier_iterations = 0
+
+    def empty(self) -> None:
+        """Reset to an empty model (reference: src/model.jl:52-60)."""
+        self.pbdata = ProblemData()
+        self.status = TerminationStatus.NOT_CALLED
+        self.presolve_data = None
+        self.solver_state = None
+        self.solution = None
+        self.solve_time = 0.0
+        self.barrier_iterations = 0
+
+    # ------------------------------------------------------------------
+    def optimize(self) -> TerminationStatus:
+        """Solve the problem (reference: src/model.jl:67-154)."""
+        import time
+        t0 = time.time()
+        params = self.params
+        pb = self.pbdata
+
+        if params.OutputLevel > 0:
+            print("\nProblem info")
+            print(f"  Name        : {pb.name}")
+            print(f"  Constraints : {pb.ncon}")
+            print(f"  Variables   : {pb.nvar}")
+            print(f"  Non-zeros   : {pb.nnz}")
+
+        pb_ = pb
+        self.presolve_data = None
+        if params.Presolve.Level > 0:
+            ps = PresolveData(pb, params.Presolve)
+            st = ps.presolve()
+            self.presolve_data = ps
+            if st in (TerminationStatus.OPTIMAL,
+                      TerminationStatus.PRIMAL_INFEASIBLE,
+                      TerminationStatus.DUAL_INFEASIBLE,
+                      TerminationStatus.PRIMAL_DUAL_INFEASIBLE):
+                # Presolve solved the problem (reference: model.jl:105-119).
+                sol0 = Solution(pb.ncon, pb.nvar)
+                postsolve(sol0, ps.solution, ps)
+                self.solution = sol0
+                self.status = st
+                self.solve_time = time.time() - t0
+                return self.status
+            pb_ = ps.extract_reduced_problem()
+
+        dtype = np.dtype(params.ArithmeticDtype)
+        dat, n_struct, objsense = lp_data_from_problem(pb_, dtype=dtype)
+
+        backend = make_backend(params.KKT.Backend, params.KKT.System,
+                               params.KKT.RefinementSteps)
+        ipm_opts = params.IPM.resolved(dtype)
+
+        algo = params.IPM.Algorithm.upper()
+        if algo == "HSD":
+            opts = HSDOptions(
+                TolerancePFeas=ipm_opts.TolerancePFeas,
+                ToleranceDFeas=ipm_opts.ToleranceDFeas,
+                ToleranceRGap=ipm_opts.ToleranceRGap,
+                ToleranceIFeas=ipm_opts.ToleranceIFeas,
+                IterationsLimit=ipm_opts.IterationsLimit,
+                TimeLimit=ipm_opts.TimeLimit,
+                CorrectionLimit=ipm_opts.CorrectionLimit,
+                StepDampFactor=ipm_opts.StepDampFactor,
+                GammaMin=ipm_opts.GammaMin,
+                CentralityOutlierThreshold=ipm_opts.CentralityOutlierThreshold,
+                PRegMin=ipm_opts.PRegMin,
+                DRegMin=ipm_opts.DRegMin,
+                OutputLevel=max(params.OutputLevel, ipm_opts.OutputLevel),
+            )
+            state = hsd_solve(dat, backend, opts)
+        elif algo == "MPC":
+            opts = MPCOptions(
+                TolerancePFeas=ipm_opts.TolerancePFeas,
+                ToleranceDFeas=ipm_opts.ToleranceDFeas,
+                ToleranceRGap=ipm_opts.ToleranceRGap,
+                ToleranceIFeas=ipm_opts.ToleranceIFeas,
+                IterationsLimit=ipm_opts.IterationsLimit,
+                TimeLimit=ipm_opts.TimeLimit,
+                CorrectionLimit=ipm_opts.CorrectionLimit,
+                StepDampFactor=ipm_opts.StepDampFactor,
+                GammaMin=ipm_opts.GammaMin,
+                PRegMin=ipm_opts.PRegMin,
+                DRegMin=ipm_opts.DRegMin,
+                OutputLevel=max(params.OutputLevel, ipm_opts.OutputLevel),
+            )
+            state = mpc_solve(dat, backend, opts)
+        else:
+            raise ValueError(f"Unknown IPM algorithm {params.IPM.Algorithm!r}")
+
+        self.solver_state = state
+        self.barrier_iterations = int(state.niter)
+
+        # Extract solution in (reduced) original space.
+        sol_inner = Solution(pb_.ncon, pb_.nvar)
+        _extract_solution(sol_inner, pb_, state, n_struct)
+
+        if params.Presolve.Level > 0:
+            sol_outer = Solution(pb.ncon, pb.nvar)
+            postsolve(sol_outer, sol_inner, self.presolve_data)
+            self.solution = sol_outer
+        else:
+            self.solution = sol_inner
+
+        self.status = TerminationStatus(int(state.status))
+        self.solve_time = time.time() - t0
+        return self.status
+
+
+def _extract_solution(sol: Solution, pb: ProblemData, state,
+                      n_struct: int) -> None:
+    """Map the standard-form iterate back to the general-form problem
+    (reference: src/model.jl:156-215): drop slack columns, divide by τ
+    unless the point is a certificate ray, sign-split row duals."""
+    pt = state.pt
+    n = n_struct
+
+    sol.primal_status = SolutionStatus(int(state.primal_status))
+    sol.dual_status = SolutionStatus(int(state.dual_status))
+    is_primal_ray = sol.primal_status == SolutionStatus.INFEASIBILITY_CERTIFICATE
+    is_dual_ray = sol.dual_status == SolutionStatus.INFEASIBILITY_CERTIFICATE
+    sol.is_primal_ray = is_primal_ray
+    sol.is_dual_ray = is_dual_ray
+    tau_inv = 1.0 if (is_primal_ray or is_dual_ray) else 1.0 / float(pt.tau)
+
+    x = np.asarray(pt.x)
+    zl = np.asarray(pt.zl)
+    zu = np.asarray(pt.zu)
+    y = np.asarray(pt.y)
+
+    sol.x[:] = x[:n] * tau_inv
+    sol.s_lower[:] = zl[:n] * tau_inv
+    sol.s_upper[:] = zu[:n] * tau_inv
+    sol.y_lower[:] = np.maximum(y, 0.0) * tau_inv
+    sol.y_upper[:] = np.maximum(-y, 0.0) * tau_inv
+
+    # Row activity in original space.
+    for i, row in enumerate(pb.arows):
+        ax = 0.0
+        for j, aij in row.items():
+            ax += aij * sol.x[j]
+        sol.Ax[i] = ax
+
+    pobj = float(state.pobj)
+    dobj = float(state.dobj)
+    if sol.primal_status == SolutionStatus.INFEASIBILITY_CERTIFICATE:
+        sol.z_primal = -np.inf
+        sol.z_dual = -np.inf
+    elif sol.primal_status in (SolutionStatus.OPTIMAL,
+                               SolutionStatus.FEASIBLE_POINT):
+        sol.z_primal = pobj
+    else:
+        sol.z_primal = np.nan
+
+    if sol.dual_status == SolutionStatus.INFEASIBILITY_CERTIFICATE:
+        sol.z_primal = np.inf
+        sol.z_dual = np.inf
+    elif sol.dual_status in (SolutionStatus.OPTIMAL,
+                             SolutionStatus.FEASIBLE_POINT):
+        sol.z_dual = dobj
+    else:
+        sol.z_dual = np.nan

@@ -1,0 +1,107 @@
+"""Solver options.
+
+Layered options bag mirroring the reference's parameter system
+(reference: src/parameters.jl:5-21, src/IPM/options.jl:1-25,
+src/KKT/KKT.jl:49-52) with string-prefix routing handled in
+:mod:`tulip_tpu.api` ("IPM_*", "KKT_*", "Presolve_*").
+
+Device-side numerical knobs (tolerances, regularization floors, damping)
+default to ``sqrt(eps(dtype))``-style values resolved lazily against the
+model dtype, like the reference's ``sqrt(eps(T))`` defaults.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+_AUTO = None  # sentinel: resolve against dtype at solve time
+
+
+def _eps(dtype) -> float:
+    return float(np.finfo(np.dtype(dtype)).eps)
+
+
+def sqrt_eps(dtype) -> float:
+    return float(np.sqrt(_eps(dtype)))
+
+
+@dataclasses.dataclass
+class IPMOptions:
+    """Interior-point options (reference: src/IPM/options.jl:1-25)."""
+
+    OutputLevel: int = 0
+
+    # User limits
+    IterationsLimit: int = 100
+    TimeLimit: float = float("inf")
+
+    # Numerical tolerances; None means sqrt(eps(dtype)).
+    TolerancePFeas: Optional[float] = _AUTO
+    ToleranceDFeas: Optional[float] = _AUTO
+    ToleranceRGap: Optional[float] = _AUTO
+    ToleranceIFeas: Optional[float] = _AUTO
+
+    # Algorithmic parameters
+    CorrectionLimit: int = 3
+    StepDampFactor: float = 0.9995
+    GammaMin: float = 0.1
+    CentralityOutlierThreshold: float = 0.1
+
+    # Regularization floors; None means sqrt(eps(dtype)).
+    PRegMin: Optional[float] = _AUTO
+    DRegMin: Optional[float] = _AUTO
+
+    # Which algorithm: "HSD" (homogeneous self-dual, default) or "MPC"
+    # (reference: options.jl:24 Factory(HSD)).
+    Algorithm: str = "HSD"
+
+    def resolved(self, dtype) -> "IPMOptions":
+        """Return a copy with all _AUTO fields resolved for ``dtype``."""
+        se = sqrt_eps(dtype)
+        out = dataclasses.replace(self)
+        for f in ("TolerancePFeas", "ToleranceDFeas", "ToleranceRGap",
+                  "ToleranceIFeas", "PRegMin", "DRegMin"):
+            if getattr(out, f) is None:
+                setattr(out, f, se)
+        return out
+
+
+@dataclasses.dataclass
+class KKTOptions:
+    """KKT linear-solver options (reference: src/KKT/KKT.jl:49-52).
+
+    ``Backend``/``System`` name a registered backend (see
+    :mod:`tulip_tpu.kkt`). ``None`` selects the default for the problem
+    (dense K1 normal equations on TPU).
+    """
+
+    Backend: Optional[str] = None   # "dense", "cholesky-pallas", "cg", ...
+    System: Optional[str] = None    # "K1" (normal eqs) or "K2" (augmented)
+    # Iterative-refinement steps applied after each KKT solve. Essential for
+    # f32/bf16 on TPU near convergence; the reference leaves this as a TODO
+    # (src/KKT/Dense/lapack.jl:117).
+    RefinementSteps: int = 0
+
+
+@dataclasses.dataclass
+class PresolveOptions:
+    """Presolve options (reference: src/Presolve/Presolve.jl options usage)."""
+
+    Level: int = 1  # 0 = disabled
+
+
+@dataclasses.dataclass
+class Parameters:
+    """Top-level options bag (reference: src/parameters.jl:5-21)."""
+
+    OutputLevel: int = 0
+    Threads: int = 1  # kept for API parity; XLA manages device parallelism
+    # numpy dtype for all device arrays; float64 for Tulip-parity tolerances.
+    ArithmeticDtype: str = "float64"
+
+    Presolve: PresolveOptions = dataclasses.field(default_factory=PresolveOptions)
+    IPM: IPMOptions = dataclasses.field(default_factory=IPMOptions)
+    KKT: KKTOptions = dataclasses.field(default_factory=KKTOptions)
