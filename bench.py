@@ -36,6 +36,10 @@ def make_raw_instances(nb, m, n, seed=0):
 
 def bench_tpu(raws, dtype="float32", tol=3e-4):
     import jax
+
+    # TPU matmuls default to bf16 passes; the IPM needs true-f32 GEMMs for
+    # its normal equations or convergence stalls near the tolerance.
+    jax.config.update("jax_default_matmul_precision", "highest")
     import jax.numpy as jnp
 
     from tulip_tpu.ipm.batch import batched_hsd_solve, stack_lps
@@ -56,13 +60,18 @@ def bench_tpu(raws, dtype="float32", tol=3e-4):
     log(f"compiling batched solve: B={len(raws)} "
         f"m={raws[0][0].shape[0]} n={raws[0][0].shape[1]} {dtype} "
         f"on {jax.devices()[0].platform}")
-    t0 = time.time()
-    out = jax.block_until_ready(batched_hsd_solve(backend, opts, dats))
-    log(f"first call (incl. compile): {time.time() - t0:.2f}s")
 
-    t0 = time.time()
-    out = jax.block_until_ready(batched_hsd_solve(backend, opts, dats))
-    wall = time.time() - t0
+    def run():
+        # Force full materialization on host — async remote dispatch can
+        # make block_until_ready return before results exist.
+        t0 = time.time()
+        out = batched_hsd_solve(backend, opts, dats)
+        np.asarray(out.status)
+        return time.time() - t0, out
+
+    t_first, out = run()
+    log(f"first call (incl. compile): {t_first:.2f}s")
+    wall = min(run()[0] for _ in range(3))
 
     st = np.asarray(out.status)
     n_opt = int((st == int(TerminationStatus.OPTIMAL)).sum())

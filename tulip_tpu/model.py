@@ -78,6 +78,13 @@ class Model:
                 self.solve_time = time.time() - t0
                 return self.status
             pb_ = ps.extract_reduced_problem()
+            if params.OutputLevel > 0:
+                print("\nReduced problem info")
+                print(f"  Constraints : {ps.nrow}  "
+                      f"(removed {pb.ncon - ps.nrow})")
+                print(f"  Variables   : {ps.ncol}  "
+                      f"(removed {pb.nvar - ps.ncol})")
+                print(f"  Non-zeros   : {pb_.nnz}")
 
         dtype = np.dtype(params.ArithmeticDtype)
         dat, n_struct, objsense = lp_data_from_problem(pb_, dtype=dtype)
