@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .data import LPData
-from .hsd import HSDOptions, HSDState, hsd_iteration, init_state
+from .hsd import (HSDOptions, HSDState, full_matmul_precision,
+                  hsd_iteration, init_state)
 
 _UNKNOWN = 1  # TerminationStatus.UNKNOWN
 
@@ -81,6 +82,7 @@ def _solve_one(backend, opts: HSDOptions, dat: LPData) -> HSDState:
 
 
 @partial(jax.jit, static_argnames=("backend", "opts"))
+@full_matmul_precision
 def batched_hsd_solve(backend, opts: HSDOptions, dats: LPData) -> HSDState:
     """Solve a batch of LPs (leading axis on every LPData leaf)."""
     return jax.vmap(lambda d: _solve_one(backend, opts, d))(dats)

@@ -58,6 +58,32 @@ class LPData(NamedTuple):
         return self.A.shape[-1]
 
 
+def matvec(dat, x: jnp.ndarray) -> jnp.ndarray:
+    """A @ x for any LP data structure. Structured data types (e.g.
+    block-angular) register their own overload via ``register_matvec``."""
+    fn = _MATVEC.get(type(dat))
+    if fn is not None:
+        return fn(dat, x)
+    return dat.A @ x
+
+
+def rmatvec(dat, y: jnp.ndarray) -> jnp.ndarray:
+    """Aᵀ @ y for any LP data structure."""
+    fn = _RMATVEC.get(type(dat))
+    if fn is not None:
+        return fn(dat, y)
+    return dat.A.T @ y
+
+
+_MATVEC: dict = {}
+_RMATVEC: dict = {}
+
+
+def register_operator(cls, mv, rmv) -> None:
+    _MATVEC[cls] = mv
+    _RMATVEC[cls] = rmv
+
+
 def make_lp_data(A, b, c, c0, l, u, dtype=jnp.float64) -> LPData:
     """Build an LPData from possibly-infinite bounds (host helper)."""
     A = jnp.asarray(A, dtype=dtype)

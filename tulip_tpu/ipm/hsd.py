@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..status import SolutionStatus, TerminationStatus
-from .data import LPData
+from .data import LPData, matvec, rmatvec
 from .point import (Point, Residuals, compute_residuals, dual_objective,
                     inf_norm, num_finite_bounds, primal_objective,
                     starting_point, update_mu)
@@ -109,6 +109,20 @@ def _data_norms(dat: LPData) -> DataNorms:
 def _tree_where(pred, a, b):
     return jax.tree_util.tree_map(
         lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def full_matmul_precision(fn):
+    """Trace ``fn`` with true-f32 matmuls. TPU matmuls default to bf16
+    passes; the IPM's normal equations and backsolves need full precision or
+    convergence stalls near tolerance (observed: 526/1024 vs 1024/1024
+    batched f32 solves)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+    return wrapped
 
 
 # ---------------------------------------------------------------------------
@@ -390,14 +404,14 @@ def update_status(dat: LPData, opts: HSDOptions, norms: DataNorms,
 
     # Unbounded-ray (dual infeasibility) certificate (HSD.jl:172-181).
     ray_nrm = jnp.maximum(
-        inf_norm(dat.A @ pt.x),
+        inf_norm(matvec(dat, pt.x)),
         jnp.maximum(inf_norm((pt.x - pt.xl) * dat.lflag),
                     inf_norm((pt.x + pt.xu) * dat.uflag)))
     dual_infeas = (ray_nrm * (norms.c / jnp.maximum(one, norms.b))
                    < -opts.ToleranceIFeas * jnp.dot(dat.c, pt.x))
 
     # Farkas (primal infeasibility) certificate (HSD.jl:183-193).
-    dlt = (dat.A.T @ pt.y + pt.zl * dat.lflag - pt.zu * dat.uflag)
+    dlt = (rmatvec(dat, pt.y) + pt.zl * dat.lflag - pt.zu * dat.uflag)
     farkas_obj = (jnp.dot(dat.b, pt.y)
                   + jnp.dot(dat.l * dat.lflag, pt.zl)
                   - jnp.dot(dat.u * dat.uflag, pt.zu))
@@ -436,7 +450,7 @@ def init_state(dat: LPData, backend) -> HSDState:
     pt = starting_point(dat, hflag=True)
     res = compute_residuals(dat, pt)
     dt = pt.x.dtype
-    kkt = backend.setup(dat.A)
+    kkt = backend.setup_data(dat)
     return HSDState(
         pt=pt, res=res,
         regP=jnp.ones(dat.ncol, dtype=dt),
@@ -477,11 +491,13 @@ def hsd_iteration(backend, opts: HSDOptions, dat: LPData, state: HSDState,
 
 
 @partial(jax.jit, static_argnames=("backend", "opts"))
+@full_matmul_precision
 def _hsd_iteration_jit(backend, opts, dat, state):
     return hsd_iteration(backend, opts, dat, state)
 
 
 @partial(jax.jit, static_argnames=("backend", "opts"))
+@full_matmul_precision
 def hsd_solve_device(backend, opts: HSDOptions, dat: LPData,
                      state: Optional[HSDState] = None) -> HSDState:
     """Fully-jitted solve: lax.while_loop over iterations. This is the

@@ -26,8 +26,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..status import SolutionStatus, TerminationStatus
-from .data import LPData
-from .hsd import DataNorms, HSDState, _data_norms, _tree_where
+from .data import LPData, matvec, rmatvec
+from .hsd import (DataNorms, HSDState, _data_norms, _tree_where,
+                  full_matmul_precision)
 from .point import (Point, Residuals, inf_norm, num_finite_bounds,
                     update_mu)
 
@@ -74,10 +75,10 @@ class MPCResiduals(NamedTuple):
 
 def mpc_residuals(dat: LPData, pt: Point):
     """Residuals without τ scaling (reference: MPC.jl:101-142)."""
-    rp = dat.b - dat.A @ pt.x
+    rp = dat.b - matvec(dat, pt.x)
     rl = (dat.l + pt.xl - pt.x) * dat.lflag
     ru = (dat.u - pt.x - pt.xu) * dat.uflag
-    rd = (dat.c - dat.A.T @ pt.y - pt.zl * dat.lflag + pt.zu * dat.uflag)
+    rd = (dat.c - rmatvec(dat, pt.y) - pt.zl * dat.lflag + pt.zu * dat.uflag)
     return rp, rl, ru, rd
 
 
@@ -154,7 +155,7 @@ def mpc_starting_point(dat: LPData, backend, kkt) -> Tuple[Point, object]:
     xl = ((x - dat.l) + dx_shift) * lf
     xu = ((dat.u - x) + dx_shift) * uf
 
-    z = dat.c - dat.A.T @ y
+    z = dat.c - rmatvec(dat, y)
     denom = jnp.maximum(lf + uf, 1.0)
     zl = (z / denom) * lf
     zu = (-z / denom) * uf
@@ -334,13 +335,13 @@ def update_status_mpc(dat: LPData, opts: MPCOptions, norms: DataNorms,
     optimal = p_feas & d_feas & (rho_g <= opts.ToleranceRGap)
 
     ray_nrm = jnp.maximum(
-        inf_norm(dat.A @ pt.x),
+        inf_norm(matvec(dat, pt.x)),
         jnp.maximum(inf_norm((pt.x - pt.xl) * dat.lflag),
                     inf_norm((pt.x + pt.xu) * dat.uflag)))
     dual_infeas = (ray_nrm * (norms.c / jnp.maximum(one, norms.b))
                    < -opts.ToleranceIFeas * jnp.dot(dat.c, pt.x))
 
-    dlt = (dat.A.T @ pt.y + pt.zl * dat.lflag - pt.zu * dat.uflag)
+    dlt = (rmatvec(dat, pt.y) + pt.zl * dat.lflag - pt.zu * dat.uflag)
     farkas_obj = (jnp.dot(dat.b, pt.y)
                   + jnp.dot(dat.l * dat.lflag, pt.zl)
                   - jnp.dot(dat.u * dat.uflag, pt.zu))
@@ -397,7 +398,7 @@ def mpc_iteration(backend, opts: MPCOptions, dat: LPData, state: HSDState,
 
 def init_state_mpc(dat: LPData, backend) -> HSDState:
     dt = dat.c.dtype
-    kkt = backend.setup(dat.A)
+    kkt = backend.setup_data(dat)
     pt, kkt = mpc_starting_point(dat, backend, kkt)
     state = HSDState(
         pt=pt, res=None,
@@ -416,11 +417,13 @@ def init_state_mpc(dat: LPData, backend) -> HSDState:
 
 
 @partial(jax.jit, static_argnames=("backend", "opts"))
+@full_matmul_precision
 def _mpc_iteration_jit(backend, opts, dat, state):
     return mpc_iteration(backend, opts, dat, state)
 
 
 @partial(jax.jit, static_argnames=("backend", "opts"))
+@full_matmul_precision
 def mpc_solve_device(backend, opts: MPCOptions, dat: LPData) -> HSDState:
     state = init_state_mpc(dat, backend)
 
@@ -438,7 +441,7 @@ def mpc_solve(dat: LPData, backend, opts: MPCOptions, log_fn=None) -> HSDState:
     if opts.OutputLevel == 0 and log_fn is None and opts.TimeLimit == float("inf"):
         return jax.block_until_ready(mpc_solve_device(backend, opts, dat))
 
-    state = init_state_mpc(dat, backend)
+    state = full_matmul_precision(init_state_mpc)(dat, backend)
     tstart = time.time()
     if opts.OutputLevel > 0:
         print("\nOptimizer info (MPC)")

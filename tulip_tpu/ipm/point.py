@@ -11,7 +11,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from .data import LPData
+from .data import LPData, matvec, rmatvec
 
 
 class Point(NamedTuple):
@@ -90,10 +90,10 @@ def inf_norm(v: jnp.ndarray) -> jnp.ndarray:
 
 def compute_residuals(dat: LPData, pt: Point) -> Residuals:
     """Residuals at ``pt`` (reference: src/IPM/HSD/HSD.jl:77-128)."""
-    rp = pt.tau * dat.b - dat.A @ pt.x
+    rp = pt.tau * dat.b - matvec(dat, pt.x)
     rl = (-pt.x + pt.xl + pt.tau * dat.l) * dat.lflag
     ru = (-pt.x - pt.xu + pt.tau * dat.u) * dat.uflag
-    rd = (pt.tau * dat.c - dat.A.T @ pt.y
+    rd = (pt.tau * dat.c - rmatvec(dat, pt.y)
           - pt.zl * dat.lflag + pt.zu * dat.uflag)
     rg = pt.kappa + (jnp.dot(dat.c, pt.x)
                      - (jnp.dot(dat.b, pt.y)

@@ -38,6 +38,12 @@ class KKTBackend:
     def setup(self, A: jnp.ndarray) -> Any:
         raise NotImplementedError
 
+    def setup_data(self, dat) -> Any:
+        """Build solver state from LP data. Default: dense constraint
+        matrix. Structured backends (block-angular Schur) override to read
+        their structured fields."""
+        return self.setup(dat.A)
+
     def update(self, state: Any, theta_inv: jnp.ndarray,
                regP: jnp.ndarray, regD: jnp.ndarray) -> Tuple[Any, jnp.ndarray]:
         raise NotImplementedError
