@@ -1,0 +1,266 @@
+"""Solver-conformance battery.
+
+Plays the role of the reference's MOI.Test.runtests coverage
+(reference: test/Interfaces/MOI_wrapper.jl:11-92): a battery of small
+model-building / solving / querying / modification behaviors every LP
+solver must get right — incremental edits followed by re-solve, empty
+models, bound conflicts, sense switches, constants, rays.
+"""
+
+import numpy as np
+import pytest
+
+import tulip_tpu as tlp
+from tulip_tpu.problem import INF
+from tulip_tpu.status import SolutionStatus, TerminationStatus
+
+OPT = TerminationStatus.OPTIMAL
+
+
+def new_model(**kw):
+    m = tlp.Model()
+    for k, v in kw.items():
+        tlp.set_parameter(m, k, v)
+    return m
+
+
+def test_empty_model():
+    m = new_model()
+    st = m.optimize()
+    assert st == OPT
+    assert tlp.get_attribute(m, "ObjectiveValue") == 0.0
+
+
+def test_objective_constant_only():
+    m = new_model()
+    m.pbdata.obj0 = 3.5
+    assert m.optimize() == OPT
+    assert tlp.get_attribute(m, "ObjectiveValue") == 3.5
+
+
+def test_single_variable_min_max():
+    m = new_model()
+    m.pbdata.add_variable((), (), 2.0, -1.0, 4.0)
+    assert m.optimize() == OPT
+    assert abs(tlp.get_attribute(m, "ObjectiveValue") - (-2.0)) < 1e-8
+    m.pbdata.objsense = False
+    assert m.optimize() == OPT
+    assert abs(tlp.get_attribute(m, "ObjectiveValue") - 8.0) < 1e-8
+
+
+def test_modify_objective_and_resolve():
+    m = new_model()
+    pb = m.pbdata
+    x = pb.add_variable((), (), 1.0, 0.0, 1.0)
+    y = pb.add_variable((), (), 2.0, 0.0, 1.0)
+    pb.add_constraint([x, y], [1.0, 1.0], 1.0, 1.0)
+    assert m.optimize() == OPT
+    assert abs(tlp.get_attribute(m, "ObjectiveValue") - 1.0) < 1e-7
+    # Swap costs -> optimum moves to the other vertex.
+    tlp.set_attribute(m, "VariableObjectiveCoeff", 3.0, index=x)
+    assert m.optimize() == OPT
+    assert abs(tlp.get_attribute(m, "ObjectiveValue") - 2.0) < 1e-7
+    np.testing.assert_allclose(m.solution.x, [0.0, 1.0], atol=1e-6)
+
+
+def test_modify_bounds_and_resolve():
+    m = new_model()
+    pb = m.pbdata
+    x = pb.add_variable((), (), -1.0, 0.0, 1.0)
+    assert m.optimize() == OPT
+    assert abs(tlp.get_attribute(m, "ObjectiveValue") + 1.0) < 1e-8
+    tlp.set_attribute(m, "VariableUpperBound", 5.0, index=x)
+    assert m.optimize() == OPT
+    assert abs(tlp.get_attribute(m, "ObjectiveValue") + 5.0) < 1e-8
+
+
+def test_modify_constraint_bounds_and_resolve():
+    m = new_model()
+    pb = m.pbdata
+    x = pb.add_variable((), (), 1.0, 0.0, INF)
+    ci = pb.add_constraint([x], [1.0], 2.0, INF)
+    assert m.optimize() == OPT
+    assert abs(tlp.get_attribute(m, "ObjectiveValue") - 2.0) < 1e-8
+    tlp.set_attribute(m, "ConstraintLowerBound", 7.0, index=ci)
+    assert m.optimize() == OPT
+    assert abs(tlp.get_attribute(m, "ObjectiveValue") - 7.0) < 1e-8
+
+
+def test_delete_variable_and_resolve():
+    m = new_model()
+    pb = m.pbdata
+    x = pb.add_variable((), (), 1.0, 0.0, 10.0, "x")
+    y = pb.add_variable((), (), 5.0, 0.0, 10.0, "y")
+    pb.add_constraint([x, y], [1.0, 1.0], 4.0, INF)
+    assert m.optimize() == OPT
+    assert abs(tlp.get_attribute(m, "ObjectiveValue") - 4.0) < 1e-7
+    pb.delete_variable(x)
+    assert m.optimize() == OPT
+    # Only y remains: 5 * 4 = 20.
+    assert abs(tlp.get_attribute(m, "ObjectiveValue") - 20.0) < 1e-7
+
+
+def test_delete_constraint_and_resolve():
+    m = new_model()
+    pb = m.pbdata
+    x = pb.add_variable((), (), 1.0, 0.0, 10.0)
+    c1 = pb.add_constraint([x], [1.0], 3.0, INF)
+    pb.add_constraint([x], [1.0], 1.0, INF)
+    assert m.optimize() == OPT
+    assert abs(tlp.get_attribute(m, "ObjectiveValue") - 3.0) < 1e-8
+    pb.delete_constraint(c1)
+    assert m.optimize() == OPT
+    assert abs(tlp.get_attribute(m, "ObjectiveValue") - 1.0) < 1e-8
+
+
+def test_set_coefficient_and_resolve():
+    m = new_model()
+    pb = m.pbdata
+    x = pb.add_variable((), (), 1.0, 0.0, INF)
+    ci = pb.add_constraint([x], [1.0], 6.0, 6.0)
+    assert m.optimize() == OPT
+    assert abs(tlp.get_attribute(m, "ObjectiveValue") - 6.0) < 1e-8
+    pb.set_coefficient(ci, x, 2.0)
+    assert m.optimize() == OPT
+    assert abs(tlp.get_attribute(m, "ObjectiveValue") - 3.0) < 1e-8
+
+
+def test_bound_conflict_infeasible():
+    m = new_model()
+    m.pbdata.add_variable((), (), 1.0, 3.0, 1.0)  # l > u
+    assert m.optimize() == TerminationStatus.PRIMAL_INFEASIBLE
+
+
+def test_interval_constraint():
+    m = new_model()
+    pb = m.pbdata
+    x = pb.add_variable((), (), -1.0, 0.0, INF)
+    pb.add_constraint([x], [1.0], 2.0, 5.0)
+    assert m.optimize() == OPT
+    assert abs(tlp.get_attribute(m, "ObjectiveValue") + 5.0) < 1e-8
+    y = m.solution.y_lower[0] - m.solution.y_upper[0]
+    assert abs(y - (-1.0)) < 1e-6  # active at upper -> y <= 0
+
+
+def test_free_constraint_row():
+    m = new_model()
+    pb = m.pbdata
+    x = pb.add_variable((), (), 1.0, 1.0, INF)
+    pb.add_constraint([x], [1.0], -INF, INF)  # free row
+    assert m.optimize() == OPT
+    assert abs(tlp.get_attribute(m, "ObjectiveValue") - 1.0) < 1e-8
+
+
+def test_unbounded_ray_query():
+    m = new_model()
+    pb = m.pbdata
+    x = pb.add_variable((), (), -1.0, 0.0, INF)
+    assert m.optimize() == TerminationStatus.DUAL_INFEASIBLE
+    assert m.solution.is_primal_ray
+    assert m.solution.x[0] > 0
+    # Reference convention: ObjectiveValue of a ray is c'ray (no constant)
+    # (reference: tulip_julia_api.jl:250-255).
+    assert tlp.get_attribute(m, "ObjectiveValue") < 0
+
+
+def test_infeasible_farkas_query():
+    m = new_model()
+    pb = m.pbdata
+    x = pb.add_variable((), (), 1.0, 0.0, 1.0)
+    pb.add_constraint([x], [1.0], 5.0, INF)  # x >= 5 with x <= 1
+    assert m.optimize() == TerminationStatus.PRIMAL_INFEASIBLE
+    assert m.solution.is_dual_ray
+    # Primal status is Unknown on infeasible -> ObjectiveValue 0; the dual
+    # Farkas value is queryable and positive (certificate inequality).
+    assert tlp.get_attribute(m, "ObjectiveValue") == 0.0
+    assert tlp.get_attribute(m, "DualObjectiveValue") > 0
+
+
+def test_max_with_constant():
+    m = new_model()
+    pb = m.pbdata
+    pb.objsense = False
+    pb.obj0 = 10.0
+    pb.add_variable((), (), 1.0, 0.0, 3.0)
+    assert m.optimize() == OPT
+    assert abs(tlp.get_attribute(m, "ObjectiveValue") - 13.0) < 1e-8
+    assert abs(tlp.get_attribute(m, "DualObjectiveValue") - 13.0) < 1e-7
+
+
+def test_attribute_surface():
+    m = new_model()
+    pb = m.pbdata
+    tlp.set_attribute(m, "ModelName", "conftest-model")
+    x = pb.add_variable((), (), 1.5, 0.0, 2.0, "xvar")
+    ci = pb.add_constraint([x], [1.0], 0.0, 2.0, "crow")
+    assert tlp.get_attribute(m, "ModelName") == "conftest-model"
+    assert tlp.get_attribute(m, "NumberOfVariables") == 1
+    assert tlp.get_attribute(m, "NumberOfConstraints") == 1
+    assert tlp.get_attribute(m, "VariableName", index=x) == "xvar"
+    assert tlp.get_attribute(m, "ConstraintName", index=ci) == "crow"
+    assert tlp.get_attribute(m, "VariableObjectiveCoeff", index=x) == 1.5
+    assert tlp.get_attribute(m, "ObjectiveSense") == "min"
+    assert tlp.get_attribute(m, "Status") == TerminationStatus.NOT_CALLED
+    m.optimize()
+    assert tlp.get_attribute(m, "Status") == OPT
+    assert tlp.get_attribute(m, "BarrierIterations") >= 0
+    assert tlp.get_attribute(m, "SolutionTime") > 0
+
+
+def test_parameter_routing_and_errors():
+    m = new_model()
+    tlp.set_parameter(m, "IPM_IterationsLimit", 5)
+    assert tlp.get_parameter(m, "IPM_IterationsLimit") == 5
+    tlp.set_parameter(m, "KKT_Backend", "dense")
+    assert tlp.get_parameter(m, "KKT_Backend") == "dense"
+    tlp.set_parameter(m, "Presolve_Level", 0)
+    assert tlp.get_parameter(m, "Presolve_Level") == 0
+    tlp.set_parameter(m, "OutputLevel", 0)
+    with pytest.raises(KeyError):
+        tlp.get_parameter(m, "IPM_NoSuchOption")
+    with pytest.raises(KeyError):
+        tlp.set_parameter(m, "Bogus", 1)
+
+
+def test_empty_after_model_reuse():
+    m = new_model()
+    m.pbdata.add_variable((), (), 1.0, 1.0, 2.0)
+    assert m.optimize() == OPT
+    m.empty()
+    assert m.pbdata.nvar == 0
+    assert tlp.get_attribute(m, "Status") == TerminationStatus.NOT_CALLED
+    assert m.optimize() == OPT  # empty model solves trivially
+    assert tlp.get_attribute(m, "ObjectiveValue") == 0.0
+
+
+def test_equality_duals_sign_convention():
+    """y split into y_lower/y_upper (both >= 0) like the reference
+    (reference: src/solution.jl:10-16, model.jl:178-179)."""
+    m = new_model()
+    pb = m.pbdata
+    x = pb.add_variable((), (), 2.0, 0.0, INF)
+    pb.add_constraint([x], [1.0], 3.0, 3.0)
+    assert m.optimize() == OPT
+    assert m.solution.y_lower[0] >= 0
+    assert m.solution.y_upper[0] >= 0
+    y = m.solution.y_lower[0] - m.solution.y_upper[0]
+    assert abs(y - 2.0) < 1e-6
+
+
+def test_fixed_variable_model():
+    m = new_model()
+    pb = m.pbdata
+    x = pb.add_variable((), (), 4.0, 2.5, 2.5)
+    assert m.optimize() == OPT
+    assert abs(tlp.get_attribute(m, "ObjectiveValue") - 10.0) < 1e-8
+    assert m.solution.x[0] == 2.5
+
+
+@pytest.mark.parametrize("algo", ["HSD", "MPC"])
+def test_zero_iteration_limit_statuses(algo):
+    m = new_model(IPM_Algorithm=algo, IPM_IterationsLimit=0,
+                  Presolve_Level=0)
+    pb = m.pbdata
+    x = pb.add_variable((), (), 1.0, 0.0, 1.0)
+    pb.add_constraint([x], [1.0], 0.5, 0.5)
+    assert m.optimize() == TerminationStatus.ITERATION_LIMIT

@@ -266,6 +266,29 @@ class PresolveData:
             u = self.lrow[i] / aij
 
         lb, ub = self.lcol[j], self.ucol[j]
+        # Implied bounds incompatible with variable bounds -> primal
+        # infeasible, with a Farkas ray combining the row dual and the
+        # conflicting bound's reduced cost. (The reference leaves this as a
+        # TODO, reference: src/Presolve/row_singleton.jl:49; it would
+        # otherwise silently mis-solve via a later dominated-column fix.)
+        if l > ub + self.tol_pfeas:
+            if aij > 0:
+                #  a x >= lrow with x <= ub: y+ = 1, s- = a.
+                self._primal_infeasible_cert(row=i, col=j, y_lower=1.0,
+                                             s_upper=aij)
+            else:
+                #  a x <= urow (a<0) forces x > ub: y- = 1, s- = -a.
+                self._primal_infeasible_cert(row=i, col=j, y_upper=1.0,
+                                             s_upper=-aij)
+            return
+        if u < lb - self.tol_pfeas:
+            if aij > 0:
+                self._primal_infeasible_cert(row=i, col=j, y_upper=1.0,
+                                             s_lower=aij)
+            else:
+                self._primal_infeasible_cert(row=i, col=j, y_lower=1.0,
+                                             s_lower=-aij)
+            return
         force_lower = l >= lb
         force_upper = u <= ub
         if force_lower:
@@ -443,6 +466,11 @@ class PresolveData:
     def _fix_column_at(self, j: int, x: float, cj: float) -> None:
         """Shared tail of dominated-column fixing
         (reference: dominated_column.jl:60-140)."""
+        if self.lcol[j] > self.ucol[j]:
+            # Bounds became inconsistent mid-pass; certify instead of
+            # fixing at an infeasible value.
+            self._primal_infeasible_cert(col=j, s_lower=1.0, s_upper=1.0)
+            return
         self.obj0 += cj * x
         active = list(self._active_col(j))
         for i, aij in active:
