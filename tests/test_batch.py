@@ -113,3 +113,17 @@ def test_batch_heterogeneous_statuses():
     assert st[0] == OPT
     assert st[1] == int(TerminationStatus.PRIMAL_INFEASIBLE)
     assert st[2] == int(TerminationStatus.DUAL_INFEASIBLE)
+
+
+def test_batched_mpc_matches_scipy():
+    from tulip_tpu.ipm.batch import batched_mpc_solve
+    from tulip_tpu.ipm.mpc import MPCOptions
+
+    rng = np.random.default_rng(21)
+    lps, raws = zip(*[random_feasible_lp(rng) for _ in range(6)])
+    out = batched_mpc_solve(DenseK1Backend(), MPCOptions(),
+                            stack_lps(list(lps)))
+    assert np.all(np.asarray(out.status) == OPT)
+    for k in range(6):
+        z = scipy_objective(*raws[k])
+        assert abs(float(out.pobj[k]) - z) < 1e-7 * max(1, abs(z))

@@ -10,7 +10,8 @@ import numpy as np
 import pytest
 
 from tulip_tpu.kkt import (CgK1Backend, DenseK1Backend, DenseK2Backend,
-                           MinresK2Backend, PallasK1Backend, make_backend)
+                           MinresK2Backend, PallasK1Backend,
+                           PallasSmallK1Backend, make_backend)
 from tulip_tpu.kkt.dense_ldl import ldl_nopivot
 from tulip_tpu.kkt.testkit import run_ls_tests
 
@@ -23,11 +24,26 @@ A_np = np.array([
 BACKENDS = [
     DenseK1Backend(),
     DenseK1Backend(refinement_steps=2),
+    DenseK1Backend(inv_factor=True, refinement_steps=1),
     DenseK2Backend(),
     PallasK1Backend(),          # falls back to XLA path off-TPU
     CgK1Backend(),
     MinresK2Backend(),
 ]
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32])
+def test_pallas_small_conformance(dtype):
+    """Fused Pallas chol-inverse backend, interpreter mode on CPU.
+
+    GEMV-only solves via an explicit factor inverse are a bit less
+    accurate than backsolves — allow 10x sqrt(eps) headroom; a refinement
+    step restores full accuracy.
+    """
+    A = jnp.asarray(A_np, dtype=dtype)
+    run_ls_tests(A, PallasSmallK1Backend(interpret=True), atol=1e-2)
+    run_ls_tests(A, PallasSmallK1Backend(interpret=True,
+                                         refinement_steps=1))
 
 
 @pytest.mark.parametrize("dtype", [jnp.float64, jnp.float32])

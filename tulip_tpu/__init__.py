@@ -37,6 +37,7 @@ from .api import (  # noqa: E402
     get_attribute,
     set_attribute,
 )
+from .linprog import linprog  # noqa: E402
 
 __all__ = [
     "TerminationStatus",
@@ -53,6 +54,7 @@ __all__ = [
     "set_parameter",
     "get_attribute",
     "set_attribute",
+    "linprog",
 ]
 
 

@@ -88,6 +88,27 @@ def batched_hsd_solve(backend, opts: HSDOptions, dats: LPData) -> HSDState:
     return jax.vmap(lambda d: _solve_one(backend, opts, d))(dats)
 
 
+def _solve_one_mpc(backend, opts, dat: LPData) -> HSDState:
+    from .mpc import init_state_mpc, mpc_iteration
+
+    state = init_state_mpc(dat, backend)
+
+    def cond(s):
+        return s.status == _UNKNOWN
+
+    def body(s):
+        return mpc_iteration(backend, opts, dat, s)
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+@partial(jax.jit, static_argnames=("backend", "opts"))
+@full_matmul_precision
+def batched_mpc_solve(backend, opts, dats: LPData) -> HSDState:
+    """Batched Mehrotra predictor-corrector solves (MPCOptions)."""
+    return jax.vmap(lambda d: _solve_one_mpc(backend, opts, d))(dats)
+
+
 def shard_batch(dats: LPData, mesh, axis: str = "batch") -> LPData:
     """Place a stacked batch with its leading axis sharded over ``mesh``;
     under jit the whole batched solve then partitions across devices with

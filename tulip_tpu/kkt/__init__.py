@@ -34,7 +34,7 @@ from .base import KKTBackend
 from .dense import DenseK1Backend
 from .dense_ldl import DenseK2Backend
 from .krylov import CgK1Backend, MinresK2Backend
-from .pallas_chol import PallasK1Backend
+from .pallas_chol import PallasK1Backend, PallasSmallK1Backend
 from .schur import SchurK1Backend
 
 _REGISTRY: Dict[str, Type[KKTBackend]] = {}
@@ -46,7 +46,7 @@ def register(cls: Type[KKTBackend]) -> Type[KKTBackend]:
 
 
 for _cls in (DenseK1Backend, DenseK2Backend, CgK1Backend, MinresK2Backend,
-             PallasK1Backend, SchurK1Backend):
+             PallasK1Backend, PallasSmallK1Backend, SchurK1Backend):
     register(_cls)
 
 
@@ -75,6 +75,7 @@ __all__ = [
     "CgK1Backend",
     "MinresK2Backend",
     "PallasK1Backend",
+    "PallasSmallK1Backend",
     "SchurK1Backend",
     "make_backend",
     "available_backends",

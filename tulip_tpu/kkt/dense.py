@@ -37,8 +37,21 @@ class DenseK1State(NamedTuple):
 
 @dataclasses.dataclass(frozen=True)
 class DenseK1Backend(KKTBackend):
+    """K1 backend.
+
+    ``inv_factor=True`` additionally inverts the Cholesky factor at update
+    time (one batched TRSM with m right-hand sides — good MXU utilization)
+    so that every subsequent backsolve becomes two GEMVs instead of two
+    sequential triangular solves. On TPU, where a single-RHS triangular
+    solve serializes into m tiny steps, this moves the 3-8 per-iteration
+    backsolves (reference profile: src/IPM/HSD/step.jl:63-136) onto the
+    MXU. Slightly less accurate than backsolves — pair with
+    ``refinement_steps>=1`` in f32.
+    """
+
     name = "dense"
     systems = ("K1",)
+    inv_factor: bool = False
 
     def arithmetic(self, state) -> str:
         return str(state.A.dtype)
@@ -69,14 +82,22 @@ class DenseK1Backend(KKTBackend):
         # Replace a failed factor with identity so downstream solves stay
         # finite while the regularization-bump loop retries.
         L = jnp.where(ok, L, jnp.eye(K.shape[-1], dtype=K.dtype))
+        if self.inv_factor:
+            # Store L^-1 instead of L: one TRSM with m RHS now, GEMV-only
+            # solves afterwards.
+            L = jax.scipy.linalg.solve_triangular(
+                L, jnp.eye(K.shape[-1], dtype=K.dtype), lower=True)
         return (DenseK1State(A=A, d=d, theta_reg=theta_reg, regD=regD, L=L),
                 ok)
 
     def _base_solve(self, state: DenseK1State, xi_p, xi_d):
         A, d, L = state.A, state.d, state.L
         rhs = xi_p + A @ (d * xi_d)
-        w = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
-        dy = jax.scipy.linalg.solve_triangular(L.T, w, lower=False)
+        if self.inv_factor:
+            dy = L.T @ (L @ rhs)
+        else:
+            w = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+            dy = jax.scipy.linalg.solve_triangular(L.T, w, lower=False)
         dx = d * (A.T @ dy - xi_d)
         return dx, dy
 

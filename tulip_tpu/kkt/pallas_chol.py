@@ -88,6 +88,57 @@ def scaled_gram(A: jnp.ndarray, d: jnp.ndarray, bm: int = 256, bk: int = 256,
 
 
 @dataclasses.dataclass(frozen=True)
+class PallasSmallK1Backend(DenseK1Backend):
+    """K1 backend for small/batched instances: fused Pallas
+    Cholesky + triangular-inverse kernel (``ops.chol``), GEMV-only solves.
+
+    The per-instance normal-equations matrix stays in VMEM; the
+    factorization runs as m vectorized rank-1 steps and the factor inverse
+    as m MXU matvecs, replacing XLA's batched Cholesky + per-RHS
+    sequential triangular solves. Off-TPU (or f64) falls back to the XLA
+    inv-factor path.
+    """
+
+    name = "pallas-small"
+    inv_factor: bool = True
+    interpret: bool = False  # run kernel in interpreter mode (CPU tests)
+
+    def _use_pallas(self, dtype, m) -> bool:
+        if self.interpret:
+            return True
+        if dtype not in (jnp.float32, jnp.bfloat16):
+            return False
+        return jax.default_backend() == "tpu" and m <= 1024
+
+    def update(self, state, theta_inv, regP, regD):
+        from ..ops import cholesky_inverse_pallas
+
+        A = state.A
+        m = A.shape[0]
+        if not self._use_pallas(A.dtype, m):
+            return DenseK1Backend.update(
+                dataclasses.replace(self, inv_factor=True),
+                state, theta_inv, regP, regD)
+        theta_reg = theta_inv + regP
+        d = 1.0 / theta_reg
+        B = A * jnp.sqrt(d)[None, :]
+        K = B @ B.T + jnp.diag(regD)
+        Linv = cholesky_inverse_pallas(K, interpret=self.interpret)
+        ok = jnp.all(jnp.isfinite(Linv))
+        Linv = jnp.where(ok, Linv, jnp.eye(m, dtype=K.dtype))
+        from .dense import DenseK1State
+        return (DenseK1State(A=A, d=d, theta_reg=theta_reg, regD=regD,
+                             L=Linv), ok)
+
+    def _base_solve(self, state, xi_p, xi_d):
+        A, d, Li = state.A, state.d, state.L
+        rhs = xi_p + A @ (d * xi_d)
+        dy = Li.T @ (Li @ rhs)
+        dx = d * (A.T @ dy - xi_d)
+        return dx, dy
+
+
+@dataclasses.dataclass(frozen=True)
 class PallasK1Backend(DenseK1Backend):
     """K1 backend whose Gram assembly runs as a fused Pallas kernel.
 

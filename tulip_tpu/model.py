@@ -34,6 +34,10 @@ class Model:
         self.solution: Optional[Solution] = None
         self.solve_time = 0.0
         self.barrier_iterations = 0
+        # Per-phase wall-clock timings (the reference's TimerOutputs
+        # analogue, reference: src/IPM/HSD/HSD.jl:22, @timeit annotations):
+        # presolve / standard_form / ipm / extract / postsolve seconds.
+        self.timings: dict = {}
 
     def empty(self) -> None:
         """Reset to an empty model (reference: src/model.jl:52-60)."""
@@ -50,6 +54,7 @@ class Model:
         """Solve the problem (reference: src/model.jl:67-154)."""
         import time
         t0 = time.time()
+        self.timings = {}
         params = self.params
         pb = self.pbdata
 
@@ -63,8 +68,10 @@ class Model:
         pb_ = pb
         self.presolve_data = None
         if params.Presolve.Level > 0:
+            t_ = time.time()
             ps = PresolveData(pb, params.Presolve)
             st = ps.presolve()
+            self.timings["presolve"] = time.time() - t_
             self.presolve_data = ps
             if st in (TerminationStatus.OPTIMAL,
                       TerminationStatus.PRIMAL_INFEASIBLE,
@@ -86,8 +93,10 @@ class Model:
                       f"(removed {pb.nvar - ps.ncol})")
                 print(f"  Non-zeros   : {pb_.nnz}")
 
+        t_ = time.time()
         dtype = np.dtype(params.ArithmeticDtype)
         dat, n_struct, objsense = lp_data_from_problem(pb_, dtype=dtype)
+        self.timings["standard_form"] = time.time() - t_
 
         backend = make_backend(params.KKT.Backend, params.KKT.System,
                                params.KKT.RefinementSteps)
@@ -110,7 +119,9 @@ class Model:
                 DRegMin=ipm_opts.DRegMin,
                 OutputLevel=max(params.OutputLevel, ipm_opts.OutputLevel),
             )
+            t_ = time.time()
             state = hsd_solve(dat, backend, opts)
+            self.timings["ipm"] = time.time() - t_
         elif algo == "MPC":
             opts = MPCOptions(
                 TolerancePFeas=ipm_opts.TolerancePFeas,
@@ -126,7 +137,9 @@ class Model:
                 DRegMin=ipm_opts.DRegMin,
                 OutputLevel=max(params.OutputLevel, ipm_opts.OutputLevel),
             )
+            t_ = time.time()
             state = mpc_solve(dat, backend, opts)
+            self.timings["ipm"] = time.time() - t_
         else:
             raise ValueError(f"Unknown IPM algorithm {params.IPM.Algorithm!r}")
 
@@ -134,12 +147,16 @@ class Model:
         self.barrier_iterations = int(state.niter)
 
         # Extract solution in (reduced) original space.
+        t_ = time.time()
         sol_inner = Solution(pb_.ncon, pb_.nvar)
         _extract_solution(sol_inner, pb_, state, n_struct)
+        self.timings["extract"] = time.time() - t_
 
         if params.Presolve.Level > 0:
+            t_ = time.time()
             sol_outer = Solution(pb.ncon, pb.nvar)
             postsolve(sol_outer, sol_inner, self.presolve_data)
+            self.timings["postsolve"] = time.time() - t_
             self.solution = sol_outer
         else:
             self.solution = sol_inner
