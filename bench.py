@@ -45,14 +45,20 @@ def bench_tpu(raws, dtype="float32", tol=3e-4):
     from tulip_tpu.ipm.batch import batched_hsd_solve, stack_lps
     from tulip_tpu.ipm.data import make_lp_data
     from tulip_tpu.ipm.hsd import HSDOptions
-    from tulip_tpu.kkt import DenseK1Backend
+    from tulip_tpu.kkt import DenseK1Backend, PallasSmallK1Backend
     from tulip_tpu.status import TerminationStatus
 
     dt = jnp.dtype(dtype)
     lps = [make_lp_data(A, b, c, 0.0, np.zeros(len(c)), u, dtype=dt)
            for (A, b, c, u) in raws]
     dats = stack_lps(lps)
-    backend = DenseK1Backend(refinement_steps=1 if dtype == "float32" else 0)
+    if dtype == "float32" and jax.default_backend() == "tpu":
+        # Blocked Pallas chol+inverse kernel: ~2.6x the XLA path here.
+        backend = PallasSmallK1Backend(refinement_steps=1)
+    else:
+        backend = DenseK1Backend(
+            inv_factor=True,
+            refinement_steps=1 if dtype == "float32" else 0)
     opts = HSDOptions(TolerancePFeas=tol, ToleranceDFeas=tol,
                       ToleranceRGap=tol, ToleranceIFeas=tol,
                       PRegMin=1e-6, DRegMin=1e-6)
@@ -98,6 +104,16 @@ def bench_highs(raws, n_sample=64):
 
 
 def main():
+    # Persistent compilation cache: the cold compile of the full batched
+    # while_loop program is minutes; cached reruns start in seconds.
+    import os
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     NB, M, N = 1024, 48, 96
     raws = make_raw_instances(NB, M, N)
 

@@ -9,7 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from tulip_tpu.kkt import (CgK1Backend, DenseK1Backend, DenseK2Backend,
+from tulip_tpu.kkt import (CgK1Backend, CrK1Backend, DenseK1Backend,
+                           DenseK2Backend,
                            MinresK2Backend, PallasK1Backend,
                            PallasSmallK1Backend, make_backend)
 from tulip_tpu.kkt.dense_ldl import ldl_nopivot
@@ -28,6 +29,7 @@ BACKENDS = [
     DenseK2Backend(),
     PallasK1Backend(),          # falls back to XLA path off-TPU
     CgK1Backend(),
+    CrK1Backend(),
     MinresK2Backend(),
 ]
 

@@ -22,15 +22,31 @@ from typing import Dict, List, Optional, Tuple
 
 from ..problem import INF, ProblemData
 from ..utils import open_maybe_compressed
+from .semantics import apply_bound, row_bounds
 
 
 class MPSError(ValueError):
     pass
 
 
-def read_mps(fname: str) -> ProblemData:
+def read_mps(fname: str, use_native: bool = True) -> ProblemData:
+    """Read an MPS file (.mps / .mps.gz / .mps.bz2).
+
+    Uses the native C++ tokenizer when available (built on demand from
+    native/mps_tokenizer.cpp); semantics are shared with the pure-Python
+    parser, which remains the fallback and the error-message authority.
+    """
     with open_maybe_compressed(fname) as f:
-        return parse_mps_lines(f, name_hint=fname)
+        text = f.read()
+    if use_native:
+        from .native import parse_mps_native
+        try:
+            pb = parse_mps_native(text.encode(), name_hint=fname)
+            if pb is not None:
+                return pb
+        except ValueError:
+            pass  # re-parse in Python for the canonical error
+    return parse_mps_lines(text.splitlines(), name_hint=fname)
 
 
 def parse_mps_lines(lines, name_hint: str = "") -> ProblemData:
@@ -140,34 +156,10 @@ def parse_mps_lines(lines, name_hint: str = "") -> ProblemData:
                 col_order.append(cname)
             j = col_idx[cname]
             val = float(tok[3]) if len(tok) >= 4 else 0.0
-            if btype == "LO":
-                lo[j] = val
-            elif btype == "UP":
-                up[j] = val
-                # Classic MPS quirk: UP with negative value and no explicit
-                # lower bound makes the variable lower bound -inf.
-                if val < 0.0 and j not in lo:
-                    lo[j] = -INF
-            elif btype == "FX":
-                lo[j] = val
-                up[j] = val
-            elif btype == "FR":
-                lo[j] = -INF
-                up[j] = INF
-                explicit_fr.add(j)
-            elif btype == "MI":
-                lo[j] = -INF
-            elif btype == "PL":
-                up[j] = INF
-            elif btype == "BV":
-                lo[j] = 0.0
-                up[j] = 1.0
-            elif btype == "LI":
-                lo[j] = val
-            elif btype == "UI":
-                up[j] = val
-            else:
-                raise MPSError(f"Unknown bound type {btype}")
+            try:
+                apply_bound(lo, up, j, btype, val)
+            except ValueError as e:
+                raise MPSError(str(e))
         elif section in ("NAME", None):
             continue
 
@@ -191,20 +183,8 @@ def parse_mps_lines(lines, name_hint: str = "") -> ProblemData:
     for rname in row_order:
         rtype = row_types[rname]
         b = rhs.get(rname, 0.0)
-        if rtype == "E":
-            lb, ub = b, b
-        elif rtype == "L":
-            lb, ub = -INF, b
-        else:  # G
-            lb, ub = b, INF
-        if rname in ranges:
-            r = ranges[rname]
-            if rtype == "E":
-                lb, ub = (b, b + r) if r >= 0 else (b + r, b)
-            elif rtype == "L":
-                lb, ub = b - abs(r), b
-            else:  # G
-                lb, ub = b, b + abs(r)
+        lb, ub = row_bounds(rtype, b, rname in ranges,
+                            ranges.get(rname, 0.0))
         cols = sorted(row_entries[rname])
         pb.add_constraint(cols, [row_entries[rname][j] for j in cols],
                           lb, ub, rname)

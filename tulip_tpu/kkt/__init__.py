@@ -33,7 +33,7 @@ from typing import Dict, Type
 from .base import KKTBackend
 from .dense import DenseK1Backend
 from .dense_ldl import DenseK2Backend
-from .krylov import CgK1Backend, MinresK2Backend
+from .krylov import CgK1Backend, CrK1Backend, MinresK2Backend
 from .pallas_chol import PallasK1Backend, PallasSmallK1Backend
 from .schur import SchurK1Backend
 
@@ -45,7 +45,8 @@ def register(cls: Type[KKTBackend]) -> Type[KKTBackend]:
     return cls
 
 
-for _cls in (DenseK1Backend, DenseK2Backend, CgK1Backend, MinresK2Backend,
+for _cls in (DenseK1Backend, DenseK2Backend, CgK1Backend, CrK1Backend,
+             MinresK2Backend,
              PallasK1Backend, PallasSmallK1Backend, SchurK1Backend):
     register(_cls)
 
@@ -73,6 +74,7 @@ __all__ = [
     "DenseK1Backend",
     "DenseK2Backend",
     "CgK1Backend",
+    "CrK1Backend",
     "MinresK2Backend",
     "PallasK1Backend",
     "PallasSmallK1Backend",

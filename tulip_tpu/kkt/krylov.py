@@ -125,6 +125,44 @@ def pcg(matvec: Callable, b: jnp.ndarray, precond: Callable, rtol,
     return out[0]
 
 
+def cr(matvec: Callable, b: jnp.ndarray, precond: Callable, rtol,
+       maxiter: int) -> jnp.ndarray:
+    """Preconditioned conjugate residuals (SPD; minimizes ||r|| instead of
+    the A-norm error — the reference's SPD family also exposes CR,
+    reference: src/KKT/Krylov/defs.jl:1-17)."""
+    x0 = jnp.zeros_like(b)
+    r0 = precond(b)
+    p0 = r0
+    Ar0 = matvec(r0)
+    Ap0 = Ar0
+    gamma0 = jnp.dot(r0, Ar0)
+    bnorm = jnp.linalg.norm(b)
+    tol2 = (rtol * jnp.where(bnorm == 0, 1.0, bnorm)) ** 2
+
+    def cond(c):
+        x, r, p, Ar, Ap, gamma, k = c
+        return (jnp.dot(r, r) > tol2) & (k < maxiter)
+
+    def body(c):
+        x, r, p, Ar, Ap, gamma, k = c
+        MAp = precond(Ap)
+        denom = jnp.dot(Ap, MAp)
+        alpha = gamma / jnp.where(denom == 0, 1.0, denom)
+        x = x + alpha * p
+        r = r - alpha * MAp
+        Ar = matvec(r)
+        gamma_new = jnp.dot(r, Ar)
+        beta = gamma_new / jnp.where(gamma == 0, 1.0, gamma)
+        p = r + beta * p
+        Ap = Ar + beta * Ap
+        return x, r, p, Ar, Ap, gamma_new, k + 1
+
+    out = jax.lax.while_loop(cond, body,
+                             (x0, r0, p0, Ar0, Ap0, gamma0,
+                              jnp.zeros((), jnp.int32)))
+    return out[0]
+
+
 @dataclasses.dataclass(frozen=True)
 class CgK1Backend(KKTBackend):
     name = "cg"
@@ -169,6 +207,30 @@ class CgK1Backend(KKTBackend):
     def solve(self, state, xi_p, xi_d):
         dx, dy = self._base_solve(state, xi_p, xi_d)
         return self._refine(state, xi_p, xi_d, dx, dy, self._base_solve)
+
+
+@dataclasses.dataclass(frozen=True)
+class CrK1Backend(CgK1Backend):
+    """Conjugate residuals on the K1 normal equations."""
+
+    name = "cr"
+
+    def linear_system(self) -> str:
+        return "Normal equations (K1), CR"
+
+    def _base_solve(self, state: KrylovState, xi_p, xi_d):
+        A, d, regD = state.A, state.d, state.regD
+        rtol = self.rtol or _sqrt_eps(A.dtype)
+        maxiter = self.maxiter_factor * A.shape[0]
+
+        def K_mv(w):
+            return A @ (d * (A.T @ w)) + regD * w
+
+        Kdiag = (A * A) @ d + regD
+        rhs = xi_p + A @ (d * xi_d)
+        dy = cr(K_mv, rhs, lambda r: r / Kdiag, rtol, maxiter)
+        dx = d * (A.T @ dy - xi_d)
+        return dx, dy
 
 
 @dataclasses.dataclass(frozen=True)

@@ -2,21 +2,29 @@
 
 Why: XLA's TPU Cholesky is tuned for large matrices; for the IPM's batched
 scenario workloads the per-instance normal-equations matrices are tiny
-(m ≤ a few hundred), and the batched factorization degenerates into long
-sequences of small ops. These kernels keep the whole matrix in VMEM and
-run the factorization as m vectorized rank-1 steps on the VPU/MXU, with
-``jax.vmap`` batching into a grid over instances via Pallas's batching
-rule.
+(m ≤ a few hundred). These kernels process a BLOCK of instances per grid
+cell so every one of the m factorization steps is a wide (nb·m-lane) VPU
+op — batching a per-instance kernel through vmap's default rule would
+instead serialize tiny 1-sublane ops per instance (measured 6x slower
+than XLA; the blocked kernel is the fix).
 
-Layout trick: we compute the UPPER factor U (K = UᵀU) row by row so the
-running index j walks the SUBLANE dimension; Mosaic has no dynamic_slice
-on values, so U lives in a VMEM scratch ref and rows are read/written with
-``pl.ds`` (ref-based dynamic slicing IS supported). Lane-indexed pivot
-extraction uses a one-hot reduction. The (m,1)·(1,m) outer product of the
-trailing update is a k=1 MXU dot; the triangular-inverse phase is one
-(1,m)·(m,m) MXU matvec per row.
+Mosaic constraints shaping the design (see memory: mosaic-pallas-pitfalls):
+- no `dynamic_slice` on values → the working matrices live in VMEM scratch
+  refs, rows indexed with `ref[:, pl.ds(j, 1), :]`;
+- MXU dots execute at bf16 input precision regardless of the requested
+  precision → all contractions are VPU broadcast-multiply + reductions
+  (exact f32);
+- lane-dimension dynamic indexing is avoided: pivot/column extraction uses
+  one-hot lane masks and reductions; the triangular inverse is built as
+  L⁻¹ rows top-down so no transpose is ever materialized;
+- `lax.rsqrt` is approximate → exact `1/sqrt`;
+- kernels trace with x64 disabled (i64 index promotion breaks lowering).
 
-Failure signalling: a non-positive pivot turns into NaN/Inf via rsqrt and
+``cholesky_inverse_pallas`` is a ``jax.custom_batching.custom_vmap``: the
+unbatched call runs a 1-instance block; under vmap the whole batch is
+blocked into grid cells.
+
+Failure signalling: a non-positive pivot turns into NaN/Inf via 1/sqrt and
 propagates; callers detect it with the same ``isfinite`` check used for
 the XLA path (no exceptions in kernels).
 """
@@ -31,124 +39,134 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _chol_phase(K_ref, U_ref):
-    """In-place upper-Cholesky of K into U_ref: K = UᵀU."""
-    m = K_ref.shape[-1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
+def _batched_chol_inv_kernel(K_ref, Linv_ref, S_ref, U_ref):
+    """One block of instances: K (nb, m, m) → L⁻¹ (nb, m, m).
 
-    U_ref[:] = K_ref[:]
-
-    def body(j, _):
-        row = U_ref[pl.ds(j, 1), :]                               # (1, m)
-        one = jnp.ones_like(row)
-        onehot = jnp.where(lane == j, one, jnp.zeros_like(row))
-        pivot2 = jnp.sum(row * onehot)
-        # NOTE: lax.rsqrt lowers to an approximate VPU rsqrt in Mosaic;
-        # use exact sqrt + divide (pivot accuracy bounds factor accuracy).
-        inv_pivot = 1.0 / jnp.sqrt(pivot2)
-        urow = jnp.where(lane >= j, row * inv_pivot,
-                         jnp.zeros_like(row))
-        U_ref[pl.ds(j, 1), :] = urow
-        # Trailing rank-1 update on rows > j.
-        outer = jax.lax.dot_general(
-            urow, urow, dimension_numbers=(((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=row.dtype)                     # (m, m)
-        U = U_ref[:]
-        U_ref[:] = jnp.where(rows > j, U - outer, U)
-        return 0
-
-    jax.lax.fori_loop(0, m, body, 0)
-
-
-def _chol_kernel(K_ref, L_ref, U_scratch):
-    m = K_ref.shape[-1]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
-    _chol_phase(K_ref, U_scratch)
-    U = U_scratch[:]
-    L_ref[:] = jnp.where(cols >= rows, U, jnp.zeros_like(U)).T
-
-
-def _chol_inv_kernel(K_ref, Linv_ref, U_scratch):
-    """Fused Cholesky + triangular inverse: K = UᵀU, output L⁻¹ = U⁻ᵀ.
-
-    Second phase: rows of X = U⁻¹ bottom-up; each step is one (1,m)·(m,m)
-    MXU matvec — O(m³) total at much better utilization than per-RHS
-    backsolves.
+    Phase 1: upper factor U (K = UᵀU) via right-looking rank-1 updates on
+    the symmetric trailing matrix S; the column needed for the outer
+    product is extracted from S by symmetry with a lane-mask reduction
+    (no transpose).
+    Phase 2: rows of L⁻¹ top-down by forward substitution; L's row i is
+    U's column i, again extracted by lane-mask reduction.
     """
     m = K_ref.shape[-1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
-    _chol_phase(K_ref, U_scratch)
+    dt = K_ref.dtype
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, m), 2)
+    subl3 = jax.lax.broadcasted_iota(jnp.int32, (1, m, 1), 1)
+    ones_l = jnp.ones((1, 1, m), dt)
+    zeros_l = jnp.zeros((1, 1, m), dt)
+
+    S_ref[:] = K_ref[:]
+
+    def chol_body(j, _):
+        srow = S_ref[:, pl.ds(j, 1), :]                   # (nb, 1, m)
+        onehot = jnp.where(lane3 == j, ones_l, zeros_l)   # (1, 1, m)
+        pivot2 = jnp.sum(srow * onehot, axis=-1, keepdims=True)
+        invp = 1.0 / jnp.sqrt(pivot2)                     # (nb, 1, 1)
+        urow = jnp.where(lane3 >= j, srow * invp, jnp.zeros_like(srow))
+        U_ref[:, pl.ds(j, 1), :] = urow
+        # Column j of S (rows > j valid by symmetry) via lane reduction.
+        scol = jnp.sum(S_ref[:] * onehot, axis=-1, keepdims=True)
+        ucol = scol * invp                                # (nb, m, 1)
+        outer = ucol * urow                               # (nb, m, m)
+        S = S_ref[:]
+        S_ref[:] = jnp.where(subl3 > j, S - outer, S)
+        return 0
+
+    jax.lax.fori_loop(0, m, chol_body, 0)
 
     Linv_ref[:] = jnp.zeros_like(Linv_ref)
 
-    def inv_body(jj, _):
-        j = m - 1 - jj
-        urow = U_scratch[pl.ds(j, 1), :]                          # (1, m)
-        onehot = jnp.where(lane == j, jnp.ones_like(urow),
-                           jnp.zeros_like(urow))
-        pivot = jnp.sum(urow * onehot)
-        umask = jnp.where(lane > j, urow, jnp.zeros_like(urow))
-        acc = jax.lax.dot_general(
-            umask, Linv_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=urow.dtype)                    # (1, m)
-        Linv_ref[pl.ds(j, 1), :] = (onehot - acc) / pivot
+    def inv_body(i, _):
+        onehot = jnp.where(lane3 == i, ones_l, zeros_l)
+        # L[i, :] = U[:, i]: lane-mask reduce U.
+        ucol = jnp.sum(U_ref[:] * onehot, axis=-1, keepdims=True)
+        pivot = jnp.sum(jnp.where(subl3 == i, ucol, jnp.zeros_like(ucol)),
+                        axis=1, keepdims=True)            # (nb, 1, 1)
+        contrib = jnp.where(subl3 < i, ucol, jnp.zeros_like(ucol)) \
+            * Linv_ref[:]
+        acc = jnp.sum(contrib, axis=1, keepdims=True)     # (nb, 1, m)
+        Linv_ref[:, pl.ds(i, 1), :] = (onehot - acc) / pivot
         return 0
 
     jax.lax.fori_loop(0, m, inv_body, 0)
-    Linv_ref[:] = Linv_ref[:].T
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def cholesky_pallas(K: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
-    """Lower Cholesky factor of an SPD matrix (batch via vmap).
+def _pick_block(B: int, m: int, itemsize: int) -> int:
+    """Block size: 4 live (nb, m, m) buffers within ~8 MB of VMEM."""
+    budget = 8 * 1024 * 1024 // (4 * m * m * itemsize)
+    nb = max(1, min(B, budget))
+    while B % nb:
+        nb -= 1
+    return nb
 
-    ``K`` must fit in VMEM ((m, m) with m up to ~1024 in f32).
-    """
-    m = K.shape[-1]
-    # Trace the kernel with x64 off: the package enables x64 globally, which
-    # promotes loop-index arithmetic to i64 — unsupported by the Mosaic TPU
-    # lowering (infinite recursion in convert_element_type).
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block"))
+def batched_cholesky_inverse_pallas(K: jnp.ndarray, block: int = 0,
+                                    interpret: bool = False) -> jnp.ndarray:
+    """L⁻¹ for a batch of SPD matrices K (B, m, m), K = L Lᵀ."""
+    B, m = K.shape[0], K.shape[-1]
+    nb = block or _pick_block(B, m, K.dtype.itemsize)
     with jax.enable_x64(False):
         return pl.pallas_call(
-            _chol_kernel,
+            _batched_chol_inv_kernel,
             out_shape=jax.ShapeDtypeStruct(K.shape, K.dtype),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((m, m), K.dtype)],
+            grid=(B // nb,),
+            in_specs=[pl.BlockSpec((nb, m, m), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((nb, m, m), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((nb, m, m), K.dtype),
+                            pltpu.VMEM((nb, m, m), K.dtype)],
             cost_estimate=pl.CostEstimate(
-                flops=int(7 * m * m * m // 3),
-                bytes_accessed=2 * m * m * K.dtype.itemsize,
-                transcendentals=m,
+                flops=int(5 * B * m * m * m),
+                bytes_accessed=2 * B * m * m * K.dtype.itemsize,
+                transcendentals=B * m,
             ),
             interpret=interpret,
         )(K)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _make_chol_inv(interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def chol_inv(K):
+        return batched_cholesky_inverse_pallas(K[None], block=1,
+                                               interpret=interpret)[0]
+
+    @chol_inv.def_vmap
+    def _rule(axis_size, in_batched, K):  # noqa: ANN001
+        (k_batched,) = in_batched
+        assert k_batched
+        # Collapse any extra leading dims into one batch axis.
+        lead = K.shape[:-2]
+        Kb = K.reshape((-1,) + K.shape[-2:])
+        out = batched_cholesky_inverse_pallas(Kb, interpret=interpret)
+        return out.reshape(lead + K.shape[-2:]), True
+
+    return chol_inv
+
+
+_CHOL_INV = {False: _make_chol_inv(False), True: _make_chol_inv(True)}
+
+
 def cholesky_inverse_pallas(K: jnp.ndarray, interpret: bool = False,
                             ) -> jnp.ndarray:
-    """Inverse lower Cholesky factor L⁻¹ with K = L Lᵀ (batch via vmap).
+    """Inverse lower Cholesky factor L⁻¹ with K = L Lᵀ.
 
-    Solves of ``K x = r`` become ``x = L⁻ᵀ (L⁻¹ r)`` — two GEMVs.
-    A non-SPD input yields NaN/Inf (detect with ``isfinite``).
+    Batches efficiently under ``jax.vmap`` (block-batched grid). Solves of
+    ``K x = r`` become ``x = L⁻ᵀ (L⁻¹ r)`` — two GEMVs.
     """
-    m = K.shape[-1]
-    with jax.enable_x64(False):
-        return pl.pallas_call(
-            _chol_inv_kernel,
-            out_shape=jax.ShapeDtypeStruct(K.shape, K.dtype),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((m, m), K.dtype)],
-            cost_estimate=pl.CostEstimate(
-                flops=int(3 * m * m * m),
-                bytes_accessed=2 * m * m * K.dtype.itemsize,
-                transcendentals=m,
-            ),
-            interpret=interpret,
-        )(K)
+    if K.ndim == 2:
+        return _CHOL_INV[interpret](K)
+    return batched_cholesky_inverse_pallas(K, interpret=interpret)
+
+
+def cholesky_pallas(K: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """Lower Cholesky factor of an SPD matrix or batch.
+
+    Convenience wrapper around the fused inverse kernel: returns
+    L = (L⁻¹)⁻¹ via one triangular solve against I.
+    """
+    Li = cholesky_inverse_pallas(K, interpret=interpret)
+    eye = jnp.eye(K.shape[-1], dtype=K.dtype)
+    return jax.scipy.linalg.solve_triangular(Li, eye, lower=True)
