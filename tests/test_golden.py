@@ -60,3 +60,22 @@ def test_golden_backends(backend):
     z = tlp.get_attribute(m, "ObjectiveValue")
     tol = 1e-8 if backend != "cg" else 1e-6
     assert abs(z - z_ref) <= tol * max(1.0, abs(z_ref))
+
+
+def test_golden_mixed_precision_1e8():
+    """f32 factorization + f64 refinement reaches 1e-8 objective parity
+    (the TPU-native answer to f64-only factorizations)."""
+    for gen in ALL_GOLDEN:
+        pb = gen()
+        z_ref = scipy_optimum(pb)
+        m = tlp.Model()
+        m.pbdata = pb
+        m.params.KKT.Backend = "dense-mixed"
+        m.params.IPM.PRegMin = 1e-6
+        m.params.IPM.DRegMin = 1e-6
+        st = m.optimize()
+        assert st == TerminationStatus.OPTIMAL, pb.name
+        z = tlp.get_attribute(m, "ObjectiveValue")
+        rtol = PARITY_RTOL.get(pb.name, 1e-8)
+        assert abs(z - z_ref) <= rtol * max(1.0, abs(z_ref)), (
+            f"{pb.name}: {z} vs {z_ref}")

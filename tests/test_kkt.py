@@ -109,3 +109,10 @@ def test_refinement_improves_f32():
     r0 = resid(DenseK1Backend())
     r2 = resid(DenseK1Backend(refinement_steps=2))
     assert r2 <= r0
+
+
+def test_mixed_precision_conformance():
+    from tulip_tpu.kkt import MixedK1Backend
+
+    A = jnp.asarray(A_np, dtype=jnp.float64)
+    run_ls_tests(A, MixedK1Backend())

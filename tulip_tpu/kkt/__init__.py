@@ -34,6 +34,7 @@ from .base import KKTBackend
 from .dense import DenseK1Backend
 from .dense_ldl import DenseK2Backend
 from .krylov import CgK1Backend, CrK1Backend, MinresK2Backend
+from .mixed import MixedK1Backend
 from .pallas_chol import PallasK1Backend, PallasSmallK1Backend
 from .schur import SchurK1Backend
 
@@ -46,7 +47,7 @@ def register(cls: Type[KKTBackend]) -> Type[KKTBackend]:
 
 
 for _cls in (DenseK1Backend, DenseK2Backend, CgK1Backend, CrK1Backend,
-             MinresK2Backend,
+             MinresK2Backend, MixedK1Backend,
              PallasK1Backend, PallasSmallK1Backend, SchurK1Backend):
     register(_cls)
 
@@ -76,6 +77,7 @@ __all__ = [
     "CgK1Backend",
     "CrK1Backend",
     "MinresK2Backend",
+    "MixedK1Backend",
     "PallasK1Backend",
     "PallasSmallK1Backend",
     "SchurK1Backend",
