@@ -117,3 +117,111 @@ def test_starting_point_masks():
     np.testing.assert_allclose(np.asarray(pt.zu), [0.0, 0.0, 1.0])
     # mu = (xl'zl + xu'zu + tau*kappa)/(p+1) = (2 + 1 + 1)/4 = 1.
     assert abs(float(pt.mu) - 1.0) < 1e-14
+
+
+def test_newton_system_residuals():
+    """solve_newton_system must satisfy the full 8-block HSD Newton system
+    (the reference keeps this as a commented-out debug check,
+    reference: src/IPM/HSD/step.jl:254-263)."""
+    from functools import partial
+
+    from tulip_tpu.ipm.hsd import NewtonAux, solve_newton_system
+    from tulip_tpu.kkt import DenseK1Backend
+
+    rng = np.random.default_rng(0)
+    m_, n_ = 5, 9
+    A = rng.standard_normal((m_, n_))
+    l = np.where(rng.random(n_) < 0.7, rng.uniform(-1, 0, n_), -np.inf)
+    u = np.where(rng.random(n_) < 0.7, rng.uniform(1, 2, n_), np.inf)
+    # Ensure at least one finite bound overall.
+    l[0] = 0.0
+    dat = make_lp_data(A, rng.standard_normal(m_), rng.standard_normal(n_),
+                       0.0, l, u)
+    lf = np.asarray(dat.lflag)
+    uf = np.asarray(dat.uflag)
+
+    pt = Point(
+        x=jnp.asarray(rng.uniform(0.5, 1.5, n_)),
+        xl=jnp.asarray(rng.uniform(0.5, 1.5, n_) * lf),
+        xu=jnp.asarray(rng.uniform(0.5, 1.5, n_) * uf),
+        y=jnp.asarray(rng.standard_normal(m_)),
+        zl=jnp.asarray(rng.uniform(0.5, 1.5, n_) * lf),
+        zu=jnp.asarray(rng.uniform(0.5, 1.5, n_) * uf),
+        tau=jnp.asarray(1.3), kappa=jnp.asarray(0.7), mu=jnp.asarray(1.0))
+
+    # Build the factorization and the tau-recovery auxiliaries exactly as
+    # compute_step does.
+    xl_s = np.where(lf > 0, np.asarray(pt.xl), 1.0)
+    xu_s = np.where(uf > 0, np.asarray(pt.xu), 1.0)
+    theta_l = np.asarray(pt.zl) / xl_s * lf
+    theta_u = np.asarray(pt.zu) / xu_s * uf
+    theta_inv = jnp.asarray(theta_l + theta_u)
+    regP = jnp.full(n_, 1e-10)
+    regD = jnp.full(m_, 1e-10)
+    regG = 1e-10
+
+    # Free variables (theta_inv = 0) with tiny regP make cond(K) ~ 1/regP
+    # on the K1 normal equations; two refinement sweeps restore full-f64
+    # augmented-system residuals for this unit check. (In the IPM itself,
+    # inexact directions are self-corrected by the outer residual loop.)
+    backend = DenseK1Backend(refinement_steps=2)
+    kkt = backend.setup(dat.A)
+    kkt, ok = backend.update(kkt, theta_inv, regP, regD)
+    assert bool(ok)
+    kkt_solve = partial(backend.solve, kkt)
+
+    ll = np.asarray(dat.l) * lf
+    uu = np.asarray(dat.u) * uf
+    cpx = jnp.asarray(np.asarray(dat.c) + theta_l * ll + theta_u * uu)
+    xi_ = dat.c - jnp.asarray(theta_l * ll) - jnp.asarray(theta_u * uu)
+    hx, hy = kkt_solve(dat.b, xi_)
+    h0 = (np.dot(ll, ll * theta_l) + np.dot(uu, uu * theta_u)
+          - float(jnp.dot(cpx, hx)) + float(jnp.dot(dat.b, hy))
+          + float(pt.kappa / pt.tau) + regG)
+    aux = NewtonAux(hx=hx, hy=hy, h0=jnp.asarray(h0), cpx=cpx)
+
+    # Random RHS (masked where appropriate).
+    xi_p = jnp.asarray(rng.standard_normal(m_))
+    xi_l = jnp.asarray(rng.standard_normal(n_) * lf)
+    xi_u = jnp.asarray(rng.standard_normal(n_) * uf)
+    xi_d = jnp.asarray(rng.standard_normal(n_))
+    xi_g = jnp.asarray(rng.standard_normal())
+    xi_xzl = jnp.asarray(rng.standard_normal(n_) * lf)
+    xi_xzu = jnp.asarray(rng.standard_normal(n_) * uf)
+    xi_tk = jnp.asarray(rng.standard_normal())
+
+    d = solve_newton_system(dat, pt, kkt_solve, aux,
+                            xi_p, xi_l, xi_u, xi_d, xi_g,
+                            xi_xzl, xi_xzu, xi_tk)
+
+    A_ = np.asarray(dat.A)
+    b_ = np.asarray(dat.b)
+    c_ = np.asarray(dat.c)
+    dx, dxl, dxu = map(np.asarray, (d.x, d.xl, d.xu))
+    dy, dzl, dzu = map(np.asarray, (d.y, d.zl, d.zu))
+    dtau, dkap = float(d.tau), float(d.kappa)
+
+    tol = 1e-7
+    # 1. A dx + Rd dy - b dtau = xi_p
+    r1 = A_ @ dx + 1e-10 * dy - b_ * dtau - np.asarray(xi_p)
+    assert np.max(np.abs(r1)) < tol
+    # 2/3. bound rows.
+    r2 = (dx - dxl - ll * dtau) * lf - np.asarray(xi_l)
+    r3 = (dx + dxu - uu * dtau) * uf - np.asarray(xi_u)
+    assert np.max(np.abs(r2)) < tol
+    assert np.max(np.abs(r3)) < tol
+    # 4. -Rp dx + A'dy + dzl - dzu - c dtau = xi_d
+    r4 = -1e-10 * dx + A_.T @ dy + dzl - dzu - c_ * dtau - np.asarray(xi_d)
+    assert np.max(np.abs(r4)) < tol
+    # 5. gap row: -c'dx + b'dy + l'dzl - u'dzu + regG dtau - dkappa = xi_g
+    r5 = (-c_ @ dx + b_ @ dy + ll @ dzl - uu @ dzu + 1e-10 * dtau - dkap
+          - float(xi_g))
+    assert abs(r5) < tol
+    # 6/7. complementarity rows.
+    r6 = np.asarray(pt.zl) * dxl + np.asarray(pt.xl) * dzl - np.asarray(xi_xzl)
+    r7 = np.asarray(pt.zu) * dxu + np.asarray(pt.xu) * dzu - np.asarray(xi_xzu)
+    assert np.max(np.abs(r6 * lf)) < tol
+    assert np.max(np.abs(r7 * uf)) < tol
+    # 8. kappa dtau + tau dkappa = xi_tk
+    r8 = float(pt.kappa) * dtau + float(pt.tau) * dkap - float(xi_tk)
+    assert abs(r8) < tol
