@@ -75,7 +75,13 @@ def bench_tpu(raws, dtype="float32", tol=3e-4):
         np.asarray(out.status)
         return time.time() - t0, out
 
-    t_first, out = run()
+    try:
+        t_first, out = run()
+    except Exception as e:  # kernel-compile surprise -> XLA fallback
+        log(f"{backend.name} failed ({type(e).__name__}); "
+            "falling back to dense inv-factor backend")
+        backend = DenseK1Backend(inv_factor=True, refinement_steps=1)
+        t_first, out = run()
     log(f"first call (incl. compile): {t_first:.2f}s")
     wall = min(run()[0] for _ in range(3))
 

@@ -126,6 +126,26 @@ def degenerate_lp(seed=4) -> ProblemData:
     return pb
 
 
+def ill_scaled(seed=6) -> ProblemData:
+    """Badly scaled LP (coefficients spanning 1e-4..1e4): exercises the
+    2-norm equilibration and the regularization ladder."""
+    rng = np.random.default_rng(seed)
+    m_, n = 5, 10
+    col_scale = 10.0 ** rng.uniform(-4, 4, n)
+    row_scale = 10.0 ** rng.uniform(-2, 2, m_)
+    A = rng.standard_normal((m_, n)) * col_scale[None, :] * row_scale[:, None]
+    u = rng.uniform(1, 3, n) / col_scale
+    x0 = u * rng.uniform(0.3, 0.7, n)
+    b = A @ x0
+    c = rng.standard_normal(n) * col_scale
+    pb = ProblemData("illscaled")
+    for j in range(n):
+        pb.add_variable((), (), c[j], 0.0, u[j])
+    for i in range(m_):
+        pb.add_constraint(list(range(n)), list(A[i]), b[i], b[i])
+    return pb
+
+
 def to_scipy(pb: ProblemData):
     """(c, A_ub, b_ub, A_eq, b_eq, bounds, sense) for scipy.linprog."""
     n = pb.nvar
@@ -168,10 +188,11 @@ def scipy_optimum(pb: ProblemData) -> float:
 
 
 ALL_GOLDEN = [transportation, production, blending, free_vars_lp,
-              degenerate_lp]
+              degenerate_lp, ill_scaled]
 
 # Objective-parity tolerance per family: 1e-8 by default (Tulip-default
-# tolerances), looser for the deliberately singular/degenerate family where
-# regularization bounds attainable accuracy (the reference's own example
-# checks use 100*sqrt(eps) ≈ 1.5e-6, examples/optimal.jl:11-12).
-PARITY_RTOL = {"degenerate": 1e-6}
+# tolerances), looser for the deliberately singular/degenerate and
+# ill-scaled families where regularization/conditioning bound attainable
+# accuracy (the reference's own example checks use 100*sqrt(eps) ≈ 1.5e-6,
+# examples/optimal.jl:11-12).
+PARITY_RTOL = {"degenerate": 1e-6, "illscaled": 1e-6}

@@ -50,3 +50,19 @@ def test_cholesky_pallas_nonspd_gives_nonfinite():
     K = -spd(16)
     L = cholesky_pallas(K, interpret=True)
     assert not bool(jnp.all(jnp.isfinite(L)))
+
+
+def test_batched_chol_inverse_nondivisible_batch():
+    from tulip_tpu.ops.chol import batched_cholesky_inverse_pallas
+
+    rng = np.random.default_rng(3)
+    B = 7  # not a multiple of any nice block size
+    X = rng.standard_normal((B, 12, 12)).astype(np.float32)
+    Ks = jnp.einsum("bij,bkj->bik", X, X) + 12 * jnp.eye(12,
+                                                         dtype=jnp.float32)
+    Li = batched_cholesky_inverse_pallas(Ks, block=4, interpret=True)
+    assert Li.shape == (B, 12, 12)
+    L = jnp.linalg.cholesky(Ks)
+    err = jnp.max(jnp.abs(jnp.einsum("bij,bjk->bik", Li, L)
+                          - jnp.eye(12, dtype=jnp.float32)))
+    assert float(err) < 1e-4

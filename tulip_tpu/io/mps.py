@@ -69,9 +69,6 @@ def parse_mps_lines(lines, name_hint: str = "") -> ProblemData:
 
     lo: Dict[int, float] = {}
     up: Dict[int, float] = {}
-    explicit_fr: set = set()
-
-    in_integer = False
 
     for raw in lines:
         line = raw.rstrip("\n")
@@ -111,9 +108,7 @@ def parse_mps_lines(lines, name_hint: str = "") -> ProblemData:
         elif section == "COLUMNS":
             # Marker lines toggle integrality (accepted, relaxed).
             if len(tok) >= 3 and tok[1].strip("'\"").upper() == "MARKER":
-                mk = tok[2].strip("'\"").upper()
-                in_integer = mk == "INTORG"
-                continue
+                continue  # integrality markers: relaxed for LP
             cname = tok[0]
             if cname not in col_idx:
                 col_idx[cname] = len(col_order)
@@ -163,14 +158,11 @@ def parse_mps_lines(lines, name_hint: str = "") -> ProblemData:
         elif section in ("NAME", None):
             continue
 
-    _ = in_integer, explicit_fr  # integrality relaxed for LP
-
     # Assemble ProblemData.
     pb = ProblemData(name or name_hint)
     pb.objsense = objsense_min
     pb.obj0 = obj_const
 
-    n = len(col_order)
     for jj, cname in enumerate(col_order):
         pb.add_variable((), (), obj_coefs.get(jj, 0.0),
                         lo.get(jj, 0.0), up.get(jj, INF), cname)
@@ -189,5 +181,4 @@ def parse_mps_lines(lines, name_hint: str = "") -> ProblemData:
         pb.add_constraint(cols, [row_entries[rname][j] for j in cols],
                           lb, ub, rname)
 
-    _ = n
     return pb

@@ -23,11 +23,10 @@ fixed at 0 by bounds l = u = 0.
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .data import LPData
 from .hsd import (HSDOptions, HSDState, full_matmul_precision,

@@ -66,13 +66,6 @@ class MPCOptions:
     OutputLevel: int = 0
 
 
-class MPCResiduals(NamedTuple):
-    rp: jnp.ndarray
-    rl: jnp.ndarray
-    ru: jnp.ndarray
-    rd: jnp.ndarray
-
-
 def mpc_residuals(dat: LPData, pt: Point):
     """Residuals without τ scaling (reference: MPC.jl:101-142)."""
     rp = dat.b - matvec(dat, pt.x)
@@ -145,9 +138,6 @@ def mpc_starting_point(dat: LPData, backend, kkt) -> Tuple[Point, object]:
     _, y = backend.solve(kkt, jnp.zeros(m, dtype=dt), dat.c)
     x, _ = backend.solve(kkt, dat.b, zeros_n)
 
-    ll = dat.l * lf
-    uu = dat.u * uf
-
     dx_shift = one + jnp.maximum(
         jnp.zeros((), dt),
         jnp.maximum(-1.5 * jnp.min((x - dat.l) * lf, initial=jnp.inf),
@@ -177,7 +167,6 @@ def mpc_starting_point(dat: LPData, backend, kkt) -> Tuple[Point, object]:
     zl = zl + dzb * lf
     zu = zu + dzb * uf
 
-    _ = ll, uu
     pt = Point(x=x, xl=xl, xu=xu, y=y, zl=zl, zu=zu,
                tau=jnp.ones((), dt), kappa=jnp.zeros((), dt),
                mu=jnp.ones((), dt))

@@ -19,7 +19,7 @@ Tolerances default to sqrt(eps) like the reference (spd.jl:66-67).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -116,9 +116,8 @@ class PallasSmallK1Backend(DenseK1Backend):
         A = state.A
         m = A.shape[0]
         if not self._use_pallas(A.dtype, m):
-            return DenseK1Backend.update(
-                dataclasses.replace(self, inv_factor=True),
-                state, theta_inv, regP, regD)
+            # inv_factor=True by class default -> XLA inverse-factor path.
+            return DenseK1Backend.update(self, state, theta_inv, regP, regD)
         theta_reg = theta_inv + regP
         d = 1.0 / theta_reg
         B = A * jnp.sqrt(d)[None, :]

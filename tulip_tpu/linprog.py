@@ -80,9 +80,8 @@ def linprog(c, A_ub=None, b_ub=None, A_eq=None, b_eq=None,
                 pb.add_constraint(cols.tolist(), vals.tolist(), -INF, b[i])
         return A.shape[0]
 
-    n_eq = add_rows(A_eq, b_eq, True)
+    add_rows(A_eq, b_eq, True)
     add_rows(A_ub, b_ub, False)
-    _ = n_eq
 
     st = m.optimize()
     code, msg = _STATUS_MAP.get(st, (4, st.name))

@@ -93,25 +93,38 @@ def _batched_chol_inv_kernel(K_ref, Linv_ref, S_ref, U_ref):
 
 
 def _pick_block(B: int, m: int, itemsize: int) -> int:
-    """Block size: 4 live (nb, m, m) buffers within ~8 MB of VMEM."""
-    budget = 8 * 1024 * 1024 // (4 * m * m * itemsize)
-    nb = max(1, min(B, budget))
-    while B % nb:
-        nb -= 1
+    """Block size: largest power of two whose ~8 live (nb, m, m) buffers
+    (in/out double buffers + 2 scratch), LANE-PADDED to 128, fit in ~10 MB
+    of VMEM. Power-of-two/sublane-aligned blocks matter: a 21-sublane block
+    took 243 s to compile vs 0.9 s for 32 (measured on v5e)."""
+    m_padded_bytes = m * (-(-m // 128) * 128) * itemsize
+    budget = max(1, 10 * 1024 * 1024 // (8 * m_padded_bytes))
+    nb = 1
+    while nb * 2 <= min(B, budget):
+        nb *= 2
     return nb
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block"))
 def batched_cholesky_inverse_pallas(K: jnp.ndarray, block: int = 0,
                                     interpret: bool = False) -> jnp.ndarray:
-    """L⁻¹ for a batch of SPD matrices K (B, m, m), K = L Lᵀ."""
+    """L⁻¹ for a batch of SPD matrices K (B, m, m), K = L Lᵀ.
+
+    The batch is padded up to a multiple of the block size with identity
+    matrices (their factor-inverse is identity; sliced off afterwards).
+    """
     B, m = K.shape[0], K.shape[-1]
     nb = block or _pick_block(B, m, K.dtype.itemsize)
+    B_pad = -(-B // nb) * nb
+    if B_pad != B:
+        eye = jnp.broadcast_to(jnp.eye(m, dtype=K.dtype),
+                               (B_pad - B, m, m))
+        K = jnp.concatenate([K, eye], axis=0)
     with jax.enable_x64(False):
-        return pl.pallas_call(
+        out = pl.pallas_call(
             _batched_chol_inv_kernel,
             out_shape=jax.ShapeDtypeStruct(K.shape, K.dtype),
-            grid=(B // nb,),
+            grid=(B_pad // nb,),
             in_specs=[pl.BlockSpec((nb, m, m), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((nb, m, m), lambda i: (i, 0, 0),
@@ -119,12 +132,13 @@ def batched_cholesky_inverse_pallas(K: jnp.ndarray, block: int = 0,
             scratch_shapes=[pltpu.VMEM((nb, m, m), K.dtype),
                             pltpu.VMEM((nb, m, m), K.dtype)],
             cost_estimate=pl.CostEstimate(
-                flops=int(5 * B * m * m * m),
-                bytes_accessed=2 * B * m * m * K.dtype.itemsize,
-                transcendentals=B * m,
+                flops=int(5 * B_pad * m * m * m),
+                bytes_accessed=2 * B_pad * m * m * K.dtype.itemsize,
+                transcendentals=B_pad * m,
             ),
             interpret=interpret,
         )(K)
+    return out[:B]
 
 
 def _make_chol_inv(interpret: bool):

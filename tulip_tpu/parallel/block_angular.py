@@ -25,7 +25,7 @@ Variable order: x = [x0; x1; …; xK] flattened; row order:
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Sequence
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
