@@ -116,3 +116,94 @@ def test_mixed_precision_conformance():
 
     A = jnp.asarray(A_np, dtype=jnp.float64)
     run_ls_tests(A, MixedK1Backend())
+
+
+def test_banded_backend():
+    """RCM block-tridiagonal backend: staircase LP gets a banded plan and
+    matches the dense solve; a dense-pattern matrix falls back."""
+    import jax
+    from tulip_tpu.kkt import BandedK1Backend
+    from tulip_tpu.kkt.banded import BandedK1State, rcm_bandwidth
+
+    rng = np.random.default_rng(0)
+    # Staircase structure: 40 stages, 8 rows each, coupling adjacent
+    # stages through shared columns.
+    stages, mr, nc = 40, 8, 12
+    m = stages * mr
+    n = stages * nc + nc
+    A = np.zeros((m, n))
+    for s in range(stages):
+        A[s*mr:(s+1)*mr, s*nc:(s+2)*nc] = rng.standard_normal((mr, 2*nc))
+    perm, bw = rcm_bandwidth(A)
+    assert bw < m // 4  # genuinely banded
+
+    backend = BandedK1Backend(min_block=32)
+    st = backend.setup(jnp.asarray(A))
+    assert isinstance(st, BandedK1State)
+
+    theta_inv = jnp.asarray(10.0 ** rng.uniform(-2, 2, n))
+    regP = jnp.full(n, 1e-8)
+    regD = jnp.full(m, 1e-8)
+    st, ok = backend.update(st, theta_inv, regP, regD)
+    assert bool(ok)
+    xi_p = jnp.asarray(rng.standard_normal(m))
+    xi_d = jnp.asarray(rng.standard_normal(n))
+    dx, dy = backend.solve(st, xi_p, xi_d)
+    rd = np.asarray(xi_d) - (-(np.asarray(theta_inv) + 1e-8) * np.asarray(dx)
+                             + A.T @ np.asarray(dy))
+    rp = np.asarray(xi_p) - (A @ np.asarray(dx) + 1e-8 * np.asarray(dy))
+    assert np.max(np.abs(rd)) < 1e-6
+    assert np.max(np.abs(rp)) < 1e-6
+
+    # Dense-pattern matrix -> fallback to the dense state.
+    Ad = jnp.asarray(rng.standard_normal((10, 20)))
+    std = backend.setup(Ad)
+    assert not isinstance(std, BandedK1State)
+    run_ls_tests(Ad, _BandedWrapper(backend))
+
+
+class _BandedWrapper:
+    """Adapter so run_ls_tests drives the banded backend's full dispatch."""
+
+    def __init__(self, b):
+        self._b = b
+        self.name = b.name
+
+    def setup(self, A):
+        return self._b.setup(A)
+
+    def update(self, st, ti, rp, rd):
+        return self._b.update(st, ti, rp, rd)
+
+    def solve(self, st, xp, xd):
+        return self._b.solve(st, xp, xd)
+
+
+def test_banded_end_to_end_staircase():
+    """Full HSD solve through the banded backend vs scipy on a staircase
+    LP."""
+    from scipy.optimize import linprog
+
+    from tulip_tpu.ipm.data import make_lp_data
+    from tulip_tpu.ipm.hsd import HSDOptions, hsd_solve
+    from tulip_tpu.kkt import BandedK1Backend
+
+    rng = np.random.default_rng(1)
+    stages, mr, nc = 12, 4, 7
+    m = stages * mr
+    n = stages * nc + nc
+    A = np.zeros((m, n))
+    for s in range(stages):
+        A[s*mr:(s+1)*mr, s*nc:(s+2)*nc] = rng.standard_normal((mr, 2*nc))
+    u = rng.uniform(1, 3, n)
+    x0 = u * rng.uniform(0.3, 0.7, n)
+    b = A @ x0
+    c = rng.standard_normal(n)
+    dat = make_lp_data(A, b, c, 0.0, np.zeros(n), u)
+    out = hsd_solve(dat, BandedK1Backend(min_block=8, refinement_steps=1),
+                    HSDOptions())
+    assert int(out.status) == 2
+    r = linprog(c, A_eq=A, b_eq=b, bounds=list(zip(np.zeros(n), u)),
+                method="highs")
+    assert r.status == 0
+    assert abs(float(out.pobj) - r.fun) < 1e-7 * max(1, abs(r.fun))

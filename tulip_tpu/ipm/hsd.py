@@ -523,7 +523,11 @@ def hsd_solve(dat: LPData, backend, opts: HSDOptions,
     while_loop (no host↔device sync per iteration).
     """
     if opts.OutputLevel == 0 and log_fn is None and opts.TimeLimit == float("inf"):
-        return jax.block_until_ready(hsd_solve_device(backend, opts, dat))
+        # init_state runs eagerly: backends with host-side symbolic analysis
+        # (e.g. the banded RCM plan) must see concrete arrays in setup.
+        state0 = full_matmul_precision(init_state)(dat, backend)
+        return jax.block_until_ready(
+            hsd_solve_device(backend, opts, dat, state0))
 
     state = init_state(dat, backend)
     tstart = time.time()

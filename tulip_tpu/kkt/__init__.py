@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from typing import Dict, Type
 
+from .banded import BandedK1Backend
 from .base import KKTBackend
 from .dense import DenseK1Backend
 from .dense_ldl import DenseK2Backend
@@ -46,7 +47,8 @@ def register(cls: Type[KKTBackend]) -> Type[KKTBackend]:
     return cls
 
 
-for _cls in (DenseK1Backend, DenseK2Backend, CgK1Backend, CrK1Backend,
+for _cls in (BandedK1Backend, DenseK1Backend, DenseK2Backend,
+             CgK1Backend, CrK1Backend,
              MinresK2Backend, MixedK1Backend,
              PallasK1Backend, PallasSmallK1Backend, SchurK1Backend):
     register(_cls)
@@ -72,6 +74,7 @@ def make_backend(name=None, system=None, refinement_steps: int = 0,
 
 __all__ = [
     "KKTBackend",
+    "BandedK1Backend",
     "DenseK1Backend",
     "DenseK2Backend",
     "CgK1Backend",
