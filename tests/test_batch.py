@@ -127,3 +127,26 @@ def test_batched_mpc_matches_scipy():
     for k in range(6):
         z = scipy_objective(*raws[k])
         assert abs(float(out.pobj[k]) - z) < 1e-7 * max(1, abs(z))
+
+
+def test_warm_start_reduces_iterations():
+    """Warm-started re-solve of a perturbed LP converges in fewer
+    iterations than cold start, to the same objective (capability beyond
+    the reference, which lists warm starts as future work)."""
+    from tulip_tpu.ipm.hsd import hsd_solve_device, init_state
+    from tulip_tpu.ipm.warmstart import warm_state
+
+    rng = np.random.default_rng(0)
+    lp, (A, b, c, u) = random_feasible_lp(rng, m=10, n=20)
+    be = DenseK1Backend()
+    opts = HSDOptions()
+    out0 = hsd_solve_device(be, opts, lp, init_state(lp, be))
+    assert int(out0.status) == OPT
+
+    b2 = b * (1 + 0.005 * rng.standard_normal(len(b)))
+    lp2 = make_lp_data(A, b2, c, 0.0, np.zeros(len(c)), u)
+    cold = hsd_solve_device(be, opts, lp2, init_state(lp2, be))
+    warm = hsd_solve_device(be, opts, lp2, warm_state(lp2, be, out0))
+    assert int(cold.status) == OPT and int(warm.status) == OPT
+    assert abs(float(cold.pobj) - float(warm.pobj)) < 1e-6
+    assert int(warm.niter) <= int(cold.niter)
