@@ -98,8 +98,18 @@ class Model:
         dat, n_struct, objsense = lp_data_from_problem(pb_, dtype=dtype)
         self.timings["standard_form"] = time.time() - t_
 
-        backend = make_backend(params.KKT.Backend, params.KKT.System,
-                               params.KKT.RefinementSteps)
+        backend_name = params.KKT.Backend
+        refinement = params.KKT.RefinementSteps
+        if backend_name is None and params.KKT.System in (None, "K1") \
+                and dtype == np.float32:
+            import jax
+            if jax.default_backend() == "tpu":
+                # TPU f32 fast path: blocked Pallas chol+inverse kernel
+                # (falls back internally off-TPU/f64); keep >=1 refinement
+                # sweep for f32 accuracy.
+                backend_name = "pallas-small"
+                refinement = max(refinement, 1)
+        backend = make_backend(backend_name, params.KKT.System, refinement)
         ipm_opts = params.IPM.resolved(dtype)
 
         algo = params.IPM.Algorithm.upper()
