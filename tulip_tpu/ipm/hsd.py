@@ -496,6 +496,8 @@ def _hsd_iteration_jit(backend, opts, dat, state):
     return hsd_iteration(backend, opts, dat, state)
 
 
+
+
 @partial(jax.jit, static_argnames=("backend", "opts"))
 @full_matmul_precision
 def hsd_solve_device(backend, opts: HSDOptions, dat: LPData,
@@ -538,18 +540,27 @@ def hsd_solve(dat: LPData, backend, opts: HSDOptions,
         print(f"\n{'Itn':>4}  {'PObj':>14}  {'DObj':>14}  "
               f"{'PFeas':>8} {'DFeas':>8} {'GFeas':>8}  {'Mu':>7}  Time")
 
+    def log_row(k, s, ttot):
+        print(f"{k:4d}  {float(s.pobj):+14.7e}  "
+              f"{float(s.dobj):+14.7e}  "
+              f"{float(jnp.maximum(s.res.rp_nrm, s.res.ru_nrm)):8.2e} "
+              f"{float(s.res.rd_nrm):8.2e} "
+              f"{float(s.res.rg_nrm):8.2e}  "
+              f"{float(s.pt.mu):7.1e}  {ttot:.2f}")
+
     prev_niter = -1
     while True:
+        # Each jitted pass computes residuals/objectives at the CURRENT
+        # point, then (if not terminal) steps and increments niter — so the
+        # logged residual row belongs to the entry iteration count
+        # (row k = point k, matching the reference's log,
+        # reference: HSD.jl:252-287).
+        n_entry = int(state.niter)
         state = jax.block_until_ready(
             _hsd_iteration_jit(backend, opts, dat, state))
         ttot = time.time() - tstart
         if opts.OutputLevel > 0:
-            print(f"{int(state.niter):4d}  {float(state.pobj):+14.7e}  "
-                  f"{float(state.dobj):+14.7e}  "
-                  f"{float(jnp.maximum(state.res.rp_nrm, state.res.ru_nrm)):8.2e} "
-                  f"{float(state.res.rd_nrm):8.2e} "
-                  f"{float(state.res.rg_nrm):8.2e}  "
-                  f"{float(state.pt.mu):7.1e}  {ttot:.2f}")
+            log_row(n_entry, state, ttot)
         if log_fn is not None:
             log_fn(state)
         if int(state.status) != _UNKNOWN:

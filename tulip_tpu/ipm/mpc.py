@@ -439,11 +439,12 @@ def mpc_solve(dat: LPData, backend, opts: MPCOptions, log_fn=None) -> HSDState:
 
     prev_niter = -1
     while True:
+        n_entry = int(state.niter)
         state = jax.block_until_ready(
             _mpc_iteration_jit(backend, opts, dat, state))
         ttot = time.time() - tstart
         if opts.OutputLevel > 0:
-            print(f"{int(state.niter):4d}  {float(state.pobj):+14.7e}  "
+            print(f"{n_entry:4d}  {float(state.pobj):+14.7e}  "
                   f"{float(state.dobj):+14.7e}  "
                   f"{float(state.res.rp_nrm):8.2e} "
                   f"{float(state.res.rd_nrm):8.2e}  "
