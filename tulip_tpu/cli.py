@@ -15,7 +15,24 @@ from . import Model, load_problem, set_parameter
 from .status import TerminationStatus
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: first-compile of the jitted solve
+    can take minutes on TPU; subsequent CLI invocations start in seconds."""
+    import os
+
+    import jax
+
+    cache = os.environ.get("TULIP_TPU_CACHE",
+                           os.path.expanduser("~/.cache/tulip_tpu_xla"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the knobs
+
+
 def main(argv=None) -> int:
+    _enable_compile_cache()
     p = argparse.ArgumentParser(
         prog="tulip_tpu",
         description="TPU-native interior-point LP solver")

@@ -80,6 +80,7 @@ class Model:
                 # Presolve solved the problem (reference: model.jl:105-119).
                 sol0 = Solution(pb.ncon, pb.nvar)
                 postsolve(sol0, ps.solution, ps)
+                _validate_certificates(pb, sol0)
                 self.solution = sol0
                 self.status = st
                 self.solve_time = time.time() - t0
@@ -170,10 +171,81 @@ class Model:
             self.solution = sol_outer
         else:
             self.solution = sol_inner
+        _validate_certificates(pb, self.solution)
 
         self.status = TerminationStatus(int(state.status))
         self.solve_time = time.time() - t0
         return self.status
+
+
+def _validate_certificates(pb: ProblemData, sol: Solution,
+                           tol: float = 1e-5) -> None:
+    """Drop ray claims that do not verify in the original space.
+
+    Termination statuses stay as decided (they are certified by the dual
+    reasoning that produced them); but a claimed certificate VECTOR must
+    satisfy its defining inequalities, which presolve reductions cannot
+    always reconstruct (e.g. a dominated-column dual-infeasibility
+    conclusion on a both-primal-and-dual-infeasible LP has no primal ray
+    at all). The reference reports such junk rays as certificates
+    (reference: dominated_column.jl:46); we report UNKNOWN instead.
+    """
+    if sol.is_primal_ray:
+        d = sol.x
+        nrm = max(1.0, float(np.max(np.abs(d))) if len(d) else 1.0)
+        ok = True
+        for i, row in enumerate(pb.arows):
+            ad = sum(aij * d[j] for j, aij in row.items())
+            lo, hi = pb.lcon[i], pb.ucon[i]
+            if np.isfinite(lo) and ad < -tol * nrm:
+                ok = False
+            if np.isfinite(hi) and ad > tol * nrm:
+                ok = False
+        for j in range(pb.nvar):
+            if np.isfinite(pb.lvar[j]) and d[j] < -tol * nrm:
+                ok = False
+            if np.isfinite(pb.uvar[j]) and d[j] > tol * nrm:
+                ok = False
+        sense = 1.0 if pb.objsense else -1.0
+        if sense * float(np.dot(np.asarray(pb.obj), d)) >= -tol * nrm:
+            ok = False
+        if not ok:
+            sol.is_primal_ray = False
+            sol.primal_status = SolutionStatus.UNKNOWN
+
+    if sol.is_dual_ray:
+        y = sol.y_lower - sol.y_upper
+        s = sol.s_lower - sol.s_upper
+        nrm = max(1.0,
+                  float(np.max(np.abs(y))) if len(y) else 1.0,
+                  float(np.max(np.abs(s))) if len(s) else 1.0)
+        resid = s.copy()
+        for i, row in enumerate(pb.arows):
+            for j, aij in row.items():
+                resid[j] += aij * y[i]
+        ok = bool(np.max(np.abs(resid)) <= tol * nrm) if len(resid) else True
+        val = 0.0
+        for i in range(pb.ncon):
+            lo, hi = pb.lcon[i], pb.ucon[i]
+            if sol.y_lower[i] > tol * nrm and not np.isfinite(lo):
+                ok = False
+            if sol.y_upper[i] > tol * nrm and not np.isfinite(hi):
+                ok = False
+            val += (sol.y_lower[i] * (lo if np.isfinite(lo) else 0.0)
+                    - sol.y_upper[i] * (hi if np.isfinite(hi) else 0.0))
+        for j in range(pb.nvar):
+            lo, hi = pb.lvar[j], pb.uvar[j]
+            if sol.s_lower[j] > tol * nrm and not np.isfinite(lo):
+                ok = False
+            if sol.s_upper[j] > tol * nrm and not np.isfinite(hi):
+                ok = False
+            val += (sol.s_lower[j] * (lo if np.isfinite(lo) else 0.0)
+                    - sol.s_upper[j] * (hi if np.isfinite(hi) else 0.0))
+        if val <= tol * nrm:
+            ok = False
+        if not ok:
+            sol.is_dual_ray = False
+            sol.dual_status = SolutionStatus.UNKNOWN
 
 
 def _extract_solution(sol: Solution, pb: ProblemData, state,

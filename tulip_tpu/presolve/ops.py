@@ -44,9 +44,14 @@ class EmptyColumn(PresolveOp):
     s: float
 
     def postsolve(self, sol: Solution) -> None:
-        sol.x[self.j] = self.x
-        sol.s_lower[self.j] = pos_part(self.s)
-        sol.s_upper[self.j] = neg_part(self.s)
+        # Ray-aware: in a homogeneous certificate the fixed value and the
+        # cost-derived reduced cost contribute zero. (The reference replays
+        # these unconditionally, corrupting certificates after multi-rule
+        # presolve — reference: empty_column.jl postsolve.)
+        sol.x[self.j] = 0.0 if sol.is_primal_ray else self.x
+        s = 0.0 if sol.is_dual_ray else self.s
+        sol.s_lower[self.j] = pos_part(s)
+        sol.s_upper[self.j] = neg_part(s)
 
 
 @dataclasses.dataclass
@@ -61,7 +66,7 @@ class FixedVariable(PresolveOp):
     col: SparseVec
 
     def postsolve(self, sol: Solution) -> None:
-        sol.x[self.j] = self.x
+        sol.x[self.j] = 0.0 if sol.is_primal_ray else self.x
         s = 0.0 if sol.is_dual_ray else self.c
         for i, aij in zip(*self.col):
             s -= aij * (sol.y_lower[i] - sol.y_upper[i])
@@ -123,11 +128,11 @@ class ForcingRow(PresolveOp):
 
     def postsolve(self, sol: Solution) -> None:
         for j, xj in zip(self.row[0], self.xs):
-            sol.x[j] = xj
+            sol.x[j] = 0.0 if sol.is_primal_ray else xj
 
         z = []
         for cj, col in zip(self.cs, self.cols):
-            zj = cj
+            zj = 0.0 if sol.is_dual_ray else cj
             for k, akj in zip(*col):
                 zj -= akj * (sol.y_lower[k] - sol.y_upper[k])
             z.append(zj)
@@ -158,7 +163,9 @@ class FreeColumnSingleton(PresolveOp):
     row: SparseVec  # rest of row i (active cols, j excluded)
 
     def postsolve(self, sol: Solution) -> None:
-        y = self.y
+        # The stored dual y = c_j/a_ij is cost-derived: zero in a Farkas
+        # ray (the free column forces (A'y)_j = 0 there).
+        y = 0.0 if sol.is_dual_ray else self.y
         sol.y_lower[self.i] = pos_part(y)
         sol.y_upper[self.i] = neg_part(y)
         sol.s_lower[self.j] = 0.0
@@ -181,7 +188,7 @@ class DominatedColumn(PresolveOp):
     col: SparseVec
 
     def postsolve(self, sol: Solution) -> None:
-        sol.x[self.j] = self.x
+        sol.x[self.j] = 0.0 if sol.is_primal_ray else self.x
         s = 0.0 if sol.is_dual_ray else self.cj
         for i, aij in zip(*self.col):
             s -= aij * (sol.y_lower[i] - sol.y_upper[i])
