@@ -12,7 +12,8 @@ import pytest
 from tulip_tpu.kkt import (CgK1Backend, CrK1Backend, DenseK1Backend,
                            DenseK2Backend,
                            MinresK2Backend, PallasK1Backend,
-                           PallasSmallK1Backend, make_backend)
+                           PallasSmallK1Backend, SqdMinresK2Backend,
+                           TricgK2Backend, make_backend)
 from tulip_tpu.kkt.dense_ldl import ldl_nopivot
 from tulip_tpu.kkt.testkit import run_ls_tests
 
@@ -31,7 +32,60 @@ BACKENDS = [
     CgK1Backend(),
     CrK1Backend(),
     MinresK2Backend(),
+    TricgK2Backend(),
+    SqdMinresK2Backend(),
 ]
+
+
+def test_sqd_minres_end_to_end():
+    """Full HSD solve through the SQD-scaled MINRES backend reaches 1e-8
+    objective parity with HiGHS (the SQD family's end-to-end workhorse;
+    TriCG is contract-conformant but loses orthogonality once Θ spans
+    ~16 orders of magnitude near convergence — see krylov.py docstring)."""
+    from scipy.optimize import linprog
+
+    from tulip_tpu.ipm.data import make_lp_data
+    from tulip_tpu.ipm.hsd import HSDOptions, hsd_solve
+
+    rng = np.random.default_rng(3)
+    m, n = 30, 60
+    A = rng.standard_normal((m, n))
+    u = rng.uniform(1, 4, n)
+    x0 = u * rng.uniform(0.2, 0.8, n)
+    b = A @ x0
+    c = rng.standard_normal(n)
+    ref = linprog(c, A_eq=A, b_eq=b, bounds=list(zip(np.zeros(n), u)),
+                  method="highs")
+    dat = make_lp_data(A, b, c, 0.0, np.zeros(n), u)
+    out = hsd_solve(dat, SqdMinresK2Backend(refinement_steps=1),
+                    HSDOptions())
+    assert int(out.status) == 2
+    assert abs(float(out.pobj) - ref.fun) < 1e-8 * max(1.0, abs(ref.fun))
+
+
+def test_tricg_matches_direct_solve():
+    """TriCG on a random SQD system with wildly scaled diagonals matches a
+    direct solve (the regime where unpreconditioned MINRES struggles)."""
+    rng = np.random.default_rng(0)
+    m, n = 7, 11
+    A = jnp.asarray(rng.standard_normal((m, n)))
+    theta_reg = jnp.asarray(10.0 ** rng.uniform(-4, 4, n))
+    regD = jnp.asarray(rng.uniform(0.5, 3.0, m))
+    xi_p = jnp.asarray(rng.standard_normal(m))
+    xi_d = jnp.asarray(rng.standard_normal(n))
+
+    b = TricgK2Backend()
+    st = b.setup(A)
+    st, ok = b.update(st, theta_reg - 1e-8, jnp.full(n, 1e-8), regD)
+    assert bool(ok)
+    dx, dy = b.solve(st, xi_p, xi_d)
+
+    K = np.block([[-np.diag(np.asarray(theta_reg)), np.asarray(A).T],
+                  [np.asarray(A), np.diag(np.asarray(regD))]])
+    sol = np.linalg.solve(K, np.concatenate([np.asarray(xi_d),
+                                             np.asarray(xi_p)]))
+    got = np.concatenate([np.asarray(dx), np.asarray(dy)])
+    np.testing.assert_allclose(got, sol, rtol=1e-6, atol=1e-8)
 
 
 @pytest.mark.parametrize("dtype", [jnp.float32])

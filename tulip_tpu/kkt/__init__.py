@@ -34,7 +34,8 @@ from .banded import BandedK1Backend
 from .base import KKTBackend
 from .dense import DenseK1Backend
 from .dense_ldl import DenseK2Backend
-from .krylov import CgK1Backend, CrK1Backend, MinresK2Backend
+from .krylov import (CgK1Backend, CrK1Backend, MinresK2Backend,
+                     SqdMinresK2Backend, TricgK2Backend)
 from .mixed import MixedK1Backend
 from .pallas_chol import PallasK1Backend, PallasSmallK1Backend
 from .schur import SchurK1Backend
@@ -49,7 +50,8 @@ def register(cls: Type[KKTBackend]) -> Type[KKTBackend]:
 
 for _cls in (BandedK1Backend, DenseK1Backend, DenseK2Backend,
              CgK1Backend, CrK1Backend,
-             MinresK2Backend, MixedK1Backend,
+             MinresK2Backend, SqdMinresK2Backend, TricgK2Backend,
+             MixedK1Backend,
              PallasK1Backend, PallasSmallK1Backend, SchurK1Backend):
     register(_cls)
 
@@ -80,6 +82,8 @@ __all__ = [
     "CgK1Backend",
     "CrK1Backend",
     "MinresK2Backend",
+    "SqdMinresK2Backend",
+    "TricgK2Backend",
     "MixedK1Backend",
     "PallasK1Backend",
     "PallasSmallK1Backend",

@@ -12,6 +12,19 @@ application is two GEMVs (MXU work), and everything sits inside
   (reference operator shape: src/KKT/Krylov/spd.jl:55-63).
 - ``MinresK2Backend``: MINRES on the full symmetric indefinite augmented
   operator over (dx, dy) (reference: src/KKT/Krylov/sid.jl:50-64).
+- ``TricgK2Backend``: the reference's SQD family (TriCG,
+  reference: src/KKT/Krylov/sqd.jl:87-92) — exploits the symmetric
+  quasi-definite 2x2 block form with the natural diagonal preconditioners
+  M = Rd, N = Θ⁻¹+Rp via the Saunders-Simon-Yip tridiagonalization
+  (Montoison & Orban, SIAM J. Sci. Comput. 2021). Experimental for full
+  IPM runs: once Θ spans ~16 orders of magnitude near convergence the
+  short recurrences lose orthogonality and the unweighted dual residual
+  degrades (the N⁻¹-weighted Galerkin residual it controls stays small) —
+  prefer ``sqd-minres`` end-to-end, matching the reference's own framing
+  of its Krylov backends as research options.
+- ``SqdMinresK2Backend``: minimum-residual counterpart (the TriMR role):
+  MINRES on the SQD system symmetrically scaled by diag(M,N)^(-1/2), i.e.
+  block-Jacobi-preconditioned MINRES.
 
 Tolerances default to sqrt(eps) like the reference (spd.jl:66-67).
 """
@@ -163,6 +176,112 @@ def cr(matvec: Callable, b: jnp.ndarray, precond: Callable, rtol,
     return out[0]
 
 
+def tricg(A, Mdiag, Ndiag, b, c, rtol, maxiter):
+    """TriCG: Galerkin method for the symmetric quasi-definite system
+
+        [ M   A ] [x]   [b]
+        [ Aᵀ  -N ] [y] = [c]
+
+    with diagonal SPD M (m) and N (n), via the preconditioned
+    Saunders-Simon-Yip process. Bases V (M-orthonormal) and U
+    (N-orthonormal) satisfy ``A U_k = M V_k T_k + β_{k+1} M v_{k+1} e_kᵀ``
+    and ``Aᵀ V_k = N U_k T_kᵀ + γ_{k+1} N u_{k+1} e_kᵀ``; the Galerkin
+    conditions reduce to the 2k×2k SQD block-tridiagonal system
+    ``[I T; Tᵀ -I]`` solved incrementally by block-LDLᵀ with 2×2 pivots
+    (strongly factorizable — Vanderbei). O(m+n) storage per iteration.
+    """
+    dt = b.dtype
+    one = jnp.ones((), dt)
+    Minv = 1.0 / Mdiag
+    Ninv = 1.0 / Ndiag
+
+    def safe(s):
+        return jnp.where(s == 0, one, s)
+
+    beta1 = jnp.sqrt(jnp.dot(b, Minv * b))
+    gamma1 = jnp.sqrt(jnp.dot(c, Ninv * c))
+    v1 = (Minv * b) / safe(beta1)
+    u1 = (Ninv * c) / safe(gamma1)
+    tol = rtol * jnp.sqrt(beta1 ** 2 + gamma1 ** 2)
+    h1 = jnp.stack([beta1, gamma1])
+
+    m, n = A.shape
+    z2 = jnp.zeros((2, 2), dt)
+    carry0 = (
+        jnp.zeros(m, dt), jnp.zeros(n, dt),        # x, y
+        jnp.zeros(m, dt), v1,                       # v_prev, v
+        jnp.zeros(n, dt), u1,                       # u_prev, u
+        beta1, gamma1,                              # β_k, γ_k
+        z2, jnp.zeros(2, dt),                       # Δ_{k-1}⁻¹, ζ_{k-1}
+        jnp.zeros(m, dt), jnp.zeros(n, dt),         # G col1 (v-part, u-part)
+        jnp.zeros(m, dt), jnp.zeros(n, dt),         # G col2
+        jnp.zeros((), jnp.int32),
+        jnp.sqrt(beta1 ** 2 + gamma1 ** 2),         # rnorm estimate
+    )
+
+    def cond(cr_):
+        *_, k, rnorm = cr_
+        return (rnorm > tol) & (k < maxiter)
+
+    def body(cr_):
+        (x, y, v_prev, v, u_prev, u, beta, gamma, Dinv_prev, zeta_prev,
+         g1v, g1u, g2v, g2u, k, _) = cr_
+        Au = A @ u
+        Atv = A.T @ v
+        alpha = jnp.dot(v, Au)
+        q = Minv * Au - gamma * v_prev - alpha * v
+        p = Ninv * Atv - beta * u_prev - alpha * u
+        beta_n = jnp.sqrt(jnp.dot(q, Mdiag * q))
+        gamma_n = jnp.sqrt(jnp.dot(p, Ndiag * p))
+        # Breakdown deflation: when one Krylov space is exhausted the new
+        # norm is pure rounding noise; normalizing it would inject a junk
+        # basis vector and break the three-term recurrences. Zero the
+        # vector instead (the process then keeps expanding the other
+        # space, which is the exact-arithmetic behavior).
+        eps_b = jnp.asarray(np.finfo(np.dtype(dt.name)).eps ** 0.75, dt)
+        scale_q = jnp.sqrt(jnp.dot(Au, Minv * Au)) + gamma + jnp.abs(alpha)
+        scale_p = jnp.sqrt(jnp.dot(Atv, Ninv * Atv)) + beta + jnp.abs(alpha)
+        dead_v = beta_n <= eps_b * scale_q
+        dead_u = gamma_n <= eps_b * scale_p
+        beta_n = jnp.where(dead_v, 0.0, beta_n)
+        gamma_n = jnp.where(dead_u, 0.0, gamma_n)
+        v_next = jnp.where(dead_v, 0.0, q / safe(beta_n))
+        u_next = jnp.where(dead_u, 0.0, p / safe(gamma_n))
+
+        # Block-LDLᵀ step on [I T; Tᵀ -I] in interleaved (x̄_i, ȳ_i) order:
+        # diag blocks Ω_i=[1 α_i; α_i -1], coupling Ψ_{i-1}=[0 γ_i; β_i 0].
+        psi = jnp.array([[0.0, 0.0], [0.0, 0.0]], dt)
+        psi = psi.at[0, 1].set(gamma).at[1, 0].set(beta)
+        lam = psi.T @ Dinv_prev                 # Λ_k = Ψ_{k-1}ᵀ Δ_{k-1}⁻¹
+        omega = jnp.array([[0.0, 0.0], [0.0, 0.0]], dt)
+        omega = omega.at[0, 0].set(1.0).at[0, 1].set(alpha) \
+                     .at[1, 0].set(alpha).at[1, 1].set(-1.0)
+        delta = omega - lam @ psi
+        det = delta[0, 0] * delta[1, 1] - delta[0, 1] * delta[1, 0]
+        dinv = jnp.array([[0.0, 0.0], [0.0, 0.0]], dt)
+        dinv = dinv.at[0, 0].set(delta[1, 1]).at[0, 1].set(-delta[0, 1]) \
+                   .at[1, 0].set(-delta[1, 0]).at[1, 1].set(delta[0, 0])
+        dinv = dinv / safe(det)
+        h = jnp.where(k == 0, h1, jnp.zeros(2, dt))
+        zeta = h - lam @ zeta_prev
+        # Direction blocks G_k = P_k - G_{k-1} Λ_kᵀ with P_k = [v 0; 0 u].
+        g1v_n = v - (g1v * lam[0, 0] + g2v * lam[0, 1])
+        g1u_n = -(g1u * lam[0, 0] + g2u * lam[0, 1])
+        g2v_n = -(g1v * lam[1, 0] + g2v * lam[1, 1])
+        g2u_n = u - (g1u * lam[1, 0] + g2u * lam[1, 1])
+        t = dinv @ zeta                          # last block of w̄
+        x = x + t[0] * g1v_n + t[1] * g2v_n
+        y = y + t[0] * g1u_n + t[1] * g2u_n
+        # Residual lies in span{Mv_{k+1}, Nu_{k+1}}:
+        # ‖r‖ over diag(M⁻¹,N⁻¹) = hypot(β_{k+1}·ȳ_k, γ_{k+1}·x̄_k).
+        rnorm = jnp.sqrt((beta_n * t[1]) ** 2 + (gamma_n * t[0]) ** 2)
+        return (x, y, v, v_next, u, u_next, beta_n, gamma_n, dinv, zeta,
+                g1v_n, g1u_n, g2v_n, g2u_n, k + 1, rnorm)
+
+    out = jax.lax.while_loop(cond, body, carry0)
+    return out[0], out[1]
+
+
 @dataclasses.dataclass(frozen=True)
 class CgK1Backend(KKTBackend):
     name = "cg"
@@ -273,3 +392,72 @@ class MinresK2Backend(KKTBackend):
     def solve(self, state, xi_p, xi_d):
         dx, dy = self._base_solve(state, xi_p, xi_d)
         return self._refine(state, xi_p, xi_d, dx, dy, self._base_solve)
+
+
+@dataclasses.dataclass(frozen=True)
+class TricgK2Backend(KKTBackend):
+    """TriCG on the SQD augmented system (the reference's TriCG/TriMR
+    family, reference: src/KKT/Krylov/sqd.jl:87-92). The K2 system
+
+        [-(Θ⁻¹+Rp)  Aᵀ] [dx]   [ξd]
+        [    A      Rd] [dy] = [ξp]
+
+    reordered as [Rd A; Aᵀ -(Θ⁻¹+Rp)][dy; dx] = [ξp; ξd] is exactly the
+    TriCG form with M = Rd, N = Θ⁻¹+Rp — the same natural diagonal
+    preconditioners the reference passes to Krylov.jl (sqd.jl:90-91)."""
+
+    name = "tricg"
+    systems = ("K2",)
+    rtol: float = 0.0
+    maxiter_factor: int = 10
+
+    def arithmetic(self, state) -> str:
+        return str(state.A.dtype)
+
+    def linear_system(self) -> str:
+        return "Augmented system (K2), TriCG"
+
+    setup = MinresK2Backend.setup
+    update = CgK1Backend.update
+
+    def _base_solve(self, state: KrylovState, xi_p, xi_d):
+        A, theta_reg, regD = state.A, state.theta_reg, state.regD
+        rtol = self.rtol or _sqrt_eps(A.dtype)
+        maxiter = self.maxiter_factor * sum(A.shape)
+        dy, dx = tricg(A, regD, theta_reg, xi_p, xi_d, rtol, maxiter)
+        return dx, dy
+
+    def solve(self, state, xi_p, xi_d):
+        dx, dy = self._base_solve(state, xi_p, xi_d)
+        return self._refine(state, xi_p, xi_d, dx, dy, self._base_solve)
+
+
+@dataclasses.dataclass(frozen=True)
+class SqdMinresK2Backend(MinresK2Backend):
+    """Minimum-residual method on the SQD augmented system with the natural
+    block-Jacobi preconditioner (the TriMR role of the reference's SQD
+    family): symmetrically scale K2 by diag(Θ⁻¹+Rp, Rd)^(-1/2) so the
+    scaled operator is [-I Â; Âᵀ I], then run MINRES and unscale."""
+
+    name = "sqd-minres"
+
+    def linear_system(self) -> str:
+        return "Augmented system (K2), SQD-scaled MINRES"
+
+    def _base_solve(self, state: KrylovState, xi_p, xi_d):
+        A, theta_reg, regD = state.A, state.theta_reg, state.regD
+        m, n = A.shape
+        rtol = self.rtol or _sqrt_eps(A.dtype)
+        maxiter = self.maxiter_factor * (m + n)
+        f = jnp.sqrt(theta_reg)          # F = (Θ⁻¹+Rp)^(1/2)
+        e = jnp.sqrt(regD)               # E = Rd^(1/2)
+
+        def K2_mv(w):
+            wx, wy = w[:n], w[n:]
+            top = -wx + (A.T @ (wy / e)) / f
+            bot = (A @ (wx / f)) / e + wy
+            return jnp.concatenate([top, bot])
+
+        rhs = jnp.concatenate([xi_d / f, xi_p / e])
+        sol = minres(K2_mv, rhs, rtol, maxiter)
+        return sol[:n] / f, sol[n:] / e
