@@ -261,3 +261,72 @@ def test_banded_end_to_end_staircase():
                 method="highs")
     assert r.status == 0
     assert abs(float(out.pobj) - r.fun) < 1e-7 * max(1, abs(r.fun))
+
+
+def test_sparse_tiled_backend():
+    """Tile-granular sparse Cholesky: cyclic staircase (corner tile forces
+    cascading symbolic fill) matches the augmented-system contract; a
+    dense-column pattern falls back to the dense state."""
+    import jax
+    from tulip_tpu.kkt import SparseK1Backend
+    from tulip_tpu.kkt.sparse import SparseK1State
+
+    rng = np.random.default_rng(1)
+    stages, mr, nc = 16, 16, 20
+    m, n = stages * mr, stages * nc
+    A = np.zeros((m, n))
+    for s in range(stages):
+        A[s*mr:(s+1)*mr, s*nc:(s+1)*nc] = rng.standard_normal((mr, nc))
+        t = (s + 1) % stages
+        A[s*mr:(s+1)*mr, t*nc:(t+1)*nc] = rng.standard_normal((mr, nc))
+
+    be = SparseK1Backend(block=16, refinement_steps=1)
+    st = be.setup(jnp.asarray(A))
+    assert isinstance(st, SparseK1State)
+    theta_inv = jnp.asarray(10.0 ** rng.uniform(-3, 3, n))
+    st, ok = be.update(st, theta_inv, jnp.full(n, 1e-8), jnp.full(m, 1e-8))
+    assert bool(ok)
+    xi_p = jnp.asarray(rng.standard_normal(m))
+    xi_d = jnp.asarray(rng.standard_normal(n))
+    dx, dy = be.solve(st, xi_p, xi_d)
+    rd = np.asarray(xi_d) - (-(np.asarray(theta_inv) + 1e-8) * np.asarray(dx)
+                             + A.T @ np.asarray(dy))
+    rp = np.asarray(xi_p) - (A @ np.asarray(dx) + 1e-8 * np.asarray(dy))
+    assert np.max(np.abs(rd)) < 1e-7
+    assert np.max(np.abs(rp)) < 1e-7
+
+    # A block-dense coupling column makes K = A Aᵀ dense -> fallback.
+    A2 = np.zeros((64, 100))
+    A2[:, :10] = rng.standard_normal((64, 10))
+    for k in range(4):
+        A2[k*16:(k+1)*16, 10+k*20:10+(k+1)*20] = rng.standard_normal((16, 20))
+    assert not isinstance(be.setup(jnp.asarray(A2)), SparseK1State)
+
+
+def test_sparse_end_to_end_staircase():
+    """Full HSD solve through the tiled sparse backend vs HiGHS."""
+    from scipy.optimize import linprog
+
+    from tulip_tpu.ipm.data import make_lp_data
+    from tulip_tpu.ipm.hsd import HSDOptions, hsd_solve
+    from tulip_tpu.kkt import SparseK1Backend
+
+    rng = np.random.default_rng(5)
+    stages, mr, nc = 10, 6, 9
+    m = stages * mr
+    n = stages * nc + nc
+    A = np.zeros((m, n))
+    for s in range(stages):
+        A[s*mr:(s+1)*mr, s*nc:(s+2)*nc] = rng.standard_normal((mr, 2*nc))
+    u = rng.uniform(1, 3, n)
+    x0 = u * rng.uniform(0.3, 0.7, n)
+    b = A @ x0
+    c = rng.standard_normal(n)
+    dat = make_lp_data(A, b, c, 0.0, np.zeros(n), u)
+    out = hsd_solve(dat, SparseK1Backend(block=8, refinement_steps=1),
+                    HSDOptions())
+    assert int(out.status) == 2
+    r = linprog(c, A_eq=A, b_eq=b, bounds=list(zip(np.zeros(n), u)),
+                method="highs")
+    assert r.status == 0
+    assert abs(float(out.pobj) - r.fun) < 1e-7 * max(1, abs(r.fun))

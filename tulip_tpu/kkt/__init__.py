@@ -39,6 +39,7 @@ from .krylov import (CgK1Backend, CrK1Backend, MinresK2Backend,
 from .mixed import MixedK1Backend
 from .pallas_chol import PallasK1Backend, PallasSmallK1Backend
 from .schur import SchurK1Backend
+from .sparse import SparseK1Backend
 
 _REGISTRY: Dict[str, Type[KKTBackend]] = {}
 
@@ -52,7 +53,8 @@ for _cls in (BandedK1Backend, DenseK1Backend, DenseK2Backend,
              CgK1Backend, CrK1Backend,
              MinresK2Backend, SqdMinresK2Backend, TricgK2Backend,
              MixedK1Backend,
-             PallasK1Backend, PallasSmallK1Backend, SchurK1Backend):
+             PallasK1Backend, PallasSmallK1Backend, SchurK1Backend,
+             SparseK1Backend):
     register(_cls)
 
 
@@ -88,6 +90,7 @@ __all__ = [
     "PallasK1Backend",
     "PallasSmallK1Backend",
     "SchurK1Backend",
+    "SparseK1Backend",
     "make_backend",
     "available_backends",
     "register",

@@ -1,0 +1,316 @@
+"""Tiled sparse K1 backend: host symbolic analysis + MXU-tile sparse
+Cholesky.
+
+This is the general-sparsity half of SURVEY §7 M4 (the banded backend
+covers the band/staircase special case). CHOLMOD's supernodal design — a
+scalar elimination tree with dense frontal matrices — is re-thought for
+the MXU instead of translated:
+
+- HOST (symbolic, at ``setup``; the role of CHOLMOD's ``analyze``,
+  reference: src/KKT/Cholmod/spd.jl:30-38): RCM-order the K = A Aᵀ
+  pattern, cut the permuted matrix into a grid of (B, B) tiles, run
+  symbolic elimination AT TILE GRANULARITY (each fill "entry" is a whole
+  tile), and emit a STATIC schedule: per block column, the list of
+  subdiagonal tiles and the list of right-looking outer-product updates
+  (source-pair positions + target tile id), padded to fixed widths.
+- DEVICE (numeric, at ``update``): one ``lax.fori_loop`` over block
+  columns; each step is a dense (B, B) Cholesky + one batched TRSM over
+  the column's tiles + one batched GEMM scatter-add for its updates —
+  all MXU-shaped, no scalar sparse ops anywhere. ``solve`` runs blocked
+  forward/backward substitution over the same tile lists.
+
+Storage and flops scale with the number of structurally-nonzero tiles
+after fill (O(ntiles·B³) factorization) instead of O(m³); like CHOLMOD,
+the symbolic phase runs once and every IPM iteration reuses the plan.
+Falls back to the dense inverse-factor backend when the filled pattern
+has no sparsity advantage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import KKTBackend
+from .dense import DenseK1Backend, DenseK1State
+
+
+def tile_plan(A_np: np.ndarray, block: int):
+    """Host symbolic phase. Returns None if tiling gives no advantage,
+    else a dict with the permutation and the padded static schedule."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    m, n = A_np.shape
+    pattern = sp.csr_matrix((np.abs(A_np) > 0).astype(np.int8))
+    Kpat = (pattern @ pattern.T).tocsr()
+    perm = np.asarray(reverse_cuthill_mckee(Kpat, symmetric_mode=True))
+
+    nbr = -(-m // block)
+    # Tile-granular pattern of the permuted K (lower triangle).
+    Kp = Kpat[perm][:, perm].tocoo()
+    bi = Kp.row // block
+    bj = Kp.col // block
+    cols = [set() for _ in range(nbr)]   # strictly-below block rows per col
+    for i, j in zip(bi, bj):
+        if i > j:
+            cols[j].add(int(i))
+        elif j > i:
+            cols[i].add(int(j))
+    # Symbolic elimination at tile granularity: eliminating column j turns
+    # every pair (a, b) of its below-diagonal block rows into a tile of
+    # column min(a, b) (right-looking fill).
+    for j in range(nbr):
+        rows = sorted(cols[j])
+        for x in range(len(rows)):
+            for y in range(x + 1, len(rows)):
+                cols[rows[x]].add(rows[y])
+
+    ntiles_sub = sum(len(c) for c in cols)
+    ntiles = ntiles_sub + nbr            # + diagonal tiles
+    dense_tiles = nbr * (nbr + 1) // 2
+    if ntiles >= 0.5 * dense_tiles or nbr <= 2:
+        return None                      # no sparsity advantage
+
+    # Assign tile ids: diagonal tiles first (id j for (j, j)), then
+    # subdiagonal tiles column-major.
+    tid = {}
+    for j in range(nbr):
+        tid[(j, j)] = j
+    next_id = nbr
+    col_rows = []
+    for j in range(nbr):
+        rows = sorted(cols[j])
+        col_rows.append(rows)
+        for i in rows:
+            tid[(i, j)] = next_id
+            next_id += 1
+
+    cmax = max((len(r) for r in col_rows), default=0)
+    cmax = max(cmax, 1)
+    umax = max((len(r) * (len(r) + 1) // 2 for r in col_rows), default=0)
+    umax = max(umax, 1)
+
+    dummy = ntiles                       # masked gathers/scatters land here
+    col_ids = np.full((nbr, cmax), dummy, np.int32)
+    col_blkrows = np.full((nbr, cmax), nbr, np.int32)  # dummy block row
+    u_a = np.zeros((nbr, umax), np.int32)     # position in col list
+    u_b = np.zeros((nbr, umax), np.int32)
+    u_tgt = np.full((nbr, umax), dummy, np.int32)
+    for j in range(nbr):
+        rows = col_rows[j]
+        for p, i in enumerate(rows):
+            col_ids[j, p] = tid[(i, j)]
+            col_blkrows[j, p] = i
+        q = 0
+        for x in range(len(rows)):
+            for y in range(x, len(rows)):
+                a, b = rows[y], rows[x]          # a >= b
+                u_a[j, q] = y
+                u_b[j, q] = x
+                u_tgt[j, q] = tid[(a, b)]
+                q += 1
+    return dict(perm=perm, nbr=nbr, ntiles=ntiles, cmax=cmax, umax=umax,
+                col_ids=col_ids, col_blkrows=col_blkrows,
+                u_a=u_a, u_b=u_b, u_tgt=u_tgt)
+
+
+class SparseK1State(NamedTuple):
+    """Static tile schedule + numeric factors.
+
+    ``T`` holds all (B, B) tiles of the filled lower-triangular pattern
+    plus one trailing dummy tile absorbing masked scatter traffic. After
+    ``update``, diagonal tiles hold their Cholesky factors and
+    subdiagonal tiles hold L-blocks.
+    """
+
+    Ap: jnp.ndarray           # (nbr, B, n) permuted + padded blocked rows
+    perm: jnp.ndarray         # (m,) int32
+    d: jnp.ndarray            # (n,)
+    theta_reg: jnp.ndarray    # (n,)
+    regD: jnp.ndarray         # (nbr, B) permuted/padded (1.0 on padding)
+    T: jnp.ndarray            # (ntiles+1, B, B) tile store
+    col_ids: jnp.ndarray      # (nbr, cmax) subdiag tile ids (dummy-padded)
+    col_blkrows: jnp.ndarray  # (nbr, cmax) block-row index (nbr = dummy)
+    u_a: jnp.ndarray          # (nbr, umax) source position a in col list
+    u_b: jnp.ndarray          # (nbr, umax) source position b
+    u_tgt: jnp.ndarray        # (nbr, umax) target tile id (dummy-padded)
+
+
+@dataclasses.dataclass(frozen=True)
+class SparseK1Backend(KKTBackend):
+    """K1 via RCM-ordered tile-granular sparse Cholesky."""
+
+    name = "sparse"
+    systems = ("K1",)
+    block: int = 64
+
+    def _dense(self) -> DenseK1Backend:
+        return DenseK1Backend(inv_factor=True,
+                              refinement_steps=self.refinement_steps)
+
+    def arithmetic(self, state) -> str:
+        return str(state.Ap.dtype if isinstance(state, SparseK1State)
+                   else state.A.dtype)
+
+    def linear_system(self) -> str:
+        return "Normal equations (K1), tiled sparse Cholesky"
+
+    # -- host symbolic ----------------------------------------------------
+    def setup(self, A: jnp.ndarray):
+        A_np = np.asarray(A)
+        m, n = A_np.shape
+        plan = tile_plan(A_np, self.block)
+        if plan is None:
+            return self._dense().setup(A)
+        B = self.block
+        nbr = plan["nbr"]
+        Ap = np.zeros((nbr * B, n), dtype=A_np.dtype)
+        Ap[:m] = A_np[plan["perm"]]
+        dt = A.dtype
+        return SparseK1State(
+            Ap=jnp.asarray(Ap.reshape(nbr, B, n)),
+            perm=jnp.asarray(plan["perm"], jnp.int32),
+            d=jnp.ones(n, dt),
+            theta_reg=jnp.ones(n, dt),
+            regD=jnp.ones((nbr, B), dt),
+            T=jnp.zeros((plan["ntiles"] + 1, B, B), dt),
+            col_ids=jnp.asarray(plan["col_ids"]),
+            col_blkrows=jnp.asarray(plan["col_blkrows"]),
+            u_a=jnp.asarray(plan["u_a"]),
+            u_b=jnp.asarray(plan["u_b"]),
+            u_tgt=jnp.asarray(plan["u_tgt"]),
+        )
+
+    # -- helpers ----------------------------------------------------------
+    def _to_blocked(self, st: SparseK1State, v):
+        m = st.perm.shape[0]
+        nbr, B, _ = st.Ap.shape
+        return jnp.pad(v[st.perm], (0, nbr * B - m)).reshape(nbr, B)
+
+    def _from_blocked(self, st: SparseK1State, vb):
+        m = st.perm.shape[0]
+        flat = vb.reshape(-1)[:m]
+        return jnp.zeros(m, vb.dtype).at[st.perm].set(flat)
+
+    # -- device numeric ---------------------------------------------------
+    def update(self, state, theta_inv, regP, regD):
+        if isinstance(state, DenseK1State):
+            return self._dense().update(state, theta_inv, regP, regD)
+        st = state
+        nbr, B, n = st.Ap.shape
+        ntiles_p1 = st.T.shape[0]
+        dt = st.Ap.dtype
+        theta_reg = theta_inv + regP
+        d = 1.0 / theta_reg
+        regDb = self._to_blocked(st, regD)
+        m = st.perm.shape[0]
+        pad_mask = (jnp.arange(nbr * B) >= m).reshape(nbr, B)
+        regDb = jnp.where(pad_mask, 1.0, regDb)
+
+        Ad = st.Ap * d[None, None, :]
+        # Pad block-row gathers with a zero block at index nbr.
+        Ap_g = jnp.concatenate([st.Ap, jnp.zeros((1, B, n), dt)])
+        eye = jnp.eye(B, dtype=dt)
+
+        # ---- assemble K tiles column by column (bounded memory) --------
+        def assemble(j, T):
+            ids = st.col_ids[j]                       # (cmax,)
+            rows = st.col_blkrows[j]                  # (cmax,)
+            Arows = Ap_g[rows]                        # (cmax, B, n)
+            Kcol = jnp.einsum("ubj,cj->ubc", Arows, Ad[j])
+            T = T.at[ids].set(Kcol)                   # dummy pad -> dummy
+            Kdiag = st.Ap[j] @ Ad[j].T + jnp.diag(regDb[j])
+            return T.at[j].set(Kdiag)
+
+        T = jax.lax.fori_loop(0, nbr, assemble,
+                              jnp.zeros((ntiles_p1, B, B), dt))
+
+        # ---- right-looking tiled Cholesky -------------------------------
+        def factor(j, carry):
+            T, ok = carry
+            ids = st.col_ids[j]
+            valid = (ids < ntiles_p1 - 1)[:, None, None]
+            D = T[j]
+            Ld = jnp.linalg.cholesky(D)
+            ok_j = jnp.all(jnp.isfinite(Ld))
+            Ld = jnp.where(ok_j, Ld, eye)
+            Sub = T[ids]                              # (cmax, B, B)
+            # L_ij = T_ij Ld^-T  (batched TRSM).
+            Lsub = jax.scipy.linalg.solve_triangular(
+                jnp.broadcast_to(Ld, Sub.shape), Sub.transpose(0, 2, 1),
+                lower=True).transpose(0, 2, 1)
+            Lsub = jnp.where(valid & ok_j, Lsub, 0.0)
+            T = T.at[j].set(Ld)
+            T = T.at[ids].set(jnp.where(valid, Lsub, T[ids]))
+            # Right-looking updates: T[tgt] -= L_a L_bᵀ.
+            La = Lsub[st.u_a[j]]                      # (umax, B, B)
+            Lb = Lsub[st.u_b[j]]
+            upd = -jnp.einsum("ubc,udc->ubd", La, Lb)
+            T = T.at[st.u_tgt[j]].add(upd)            # dummy absorbs pads
+            return T, ok & ok_j
+
+        T, ok = jax.lax.fori_loop(0, nbr, factor, (T, jnp.asarray(True)))
+        new = SparseK1State(Ap=st.Ap, perm=st.perm, d=d,
+                            theta_reg=theta_reg, regD=regDb, T=T,
+                            col_ids=st.col_ids, col_blkrows=st.col_blkrows,
+                            u_a=st.u_a, u_b=st.u_b, u_tgt=st.u_tgt)
+        return new, ok
+
+    def _tile_solve_K(self, st: SparseK1State, rhs_b):
+        """(P K Pᵀ) y = rhs via blocked forward/backward substitution."""
+        nbr, B, _ = st.Ap.shape
+
+        def fwd(j, y):
+            yj = jax.scipy.linalg.solve_triangular(st.T[j], y[j], lower=True)
+            y = y.at[j].set(yj)
+            contrib = jnp.einsum("ubc,c->ub", st.T[st.col_ids[j]], yj)
+            return y.at[st.col_blkrows[j]].add(-contrib)  # dummy row nbr
+
+        y = jax.lax.fori_loop(0, nbr, fwd,
+                              jnp.concatenate([rhs_b,
+                                               jnp.zeros((1, B),
+                                                         rhs_b.dtype)]))
+
+        def bwd(t, x):
+            j = nbr - 1 - t
+            xg = x[st.col_blkrows[j]]                 # (cmax, B)
+            acc = jnp.einsum("ubc,ub->c", st.T[st.col_ids[j]], xg)
+            xj = jax.scipy.linalg.solve_triangular(
+                st.T[j].T, y[j] - acc, lower=False)
+            return x.at[j].set(xj)
+
+        x = jax.lax.fori_loop(0, nbr, bwd,
+                              jnp.zeros((nbr + 1, B), rhs_b.dtype))
+        return x[:nbr]
+
+    def _base_solve(self, st: SparseK1State, xi_p, xi_d):
+        d = st.d
+        rhs_b = self._to_blocked(st, xi_p) + jnp.einsum(
+            "bij,j->bi", st.Ap, d * xi_d)
+        y_b = self._tile_solve_K(st, rhs_b)
+        dy = self._from_blocked(st, y_b)
+        dx = d * (jnp.einsum("bij,bi->j", st.Ap, y_b) - xi_d)
+        return dx, dy
+
+    def solve(self, state, xi_p, xi_d):
+        if isinstance(state, DenseK1State):
+            return self._dense().solve(state, xi_p, xi_d)
+        st = state
+        dx, dy = self._base_solve(st, xi_p, xi_d)
+        regD_unperm = self._from_blocked(st, st.regD)
+        for _ in range(self.refinement_steps):
+            Adx = self._from_blocked(
+                st, jnp.einsum("bij,j->bi", st.Ap, dx))
+            ATdy = jnp.einsum("bij,bi->j", st.Ap,
+                              self._to_blocked(st, dy))
+            rp = xi_p - (Adx + regD_unperm * dy)
+            rd = xi_d - (-(st.theta_reg * dx) + ATdy)
+            ddx, ddy = self._base_solve(st, rp, rd)
+            dx = dx + ddx
+            dy = dy + ddy
+        return dx, dy
