@@ -330,3 +330,14 @@ def test_sparse_end_to_end_staircase():
                 method="highs")
     assert r.status == 0
     assert abs(float(out.pobj) - r.fun) < 1e-7 * max(1, abs(r.fun))
+
+
+def test_rcm_pattern_no_int8_overflow():
+    """A dense matrix with >=256 shared columns must not be classified as
+    banded (int8 pattern-count overflow wrapped 512 to 0)."""
+    from tulip_tpu.kkt.banded import rcm_bandwidth
+
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((300, 512))
+    _, bw = rcm_bandwidth(A)
+    assert bw == 299

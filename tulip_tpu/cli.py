@@ -39,6 +39,9 @@ def main(argv=None) -> int:
     p.add_argument("finst", help="MPS instance file (.mps, .mps.gz, .mps.bz2)")
     p.add_argument("--TimeLimit", type=float, default=float("inf"))
     p.add_argument("--IterationsLimit", type=int, default=100)
+    p.add_argument("--Threads", type=int, default=1,
+                   help="accepted for reference-CLI parity; XLA manages "
+                        "device parallelism")
     p.add_argument("--Presolve", type=int, default=1)
     p.add_argument("--Method", choices=["HSD", "MPC"], default="HSD")
     p.add_argument("--KKTBackend", default=None)
@@ -55,6 +58,7 @@ def main(argv=None) -> int:
         return 2
     m.params.OutputLevel = args.OutputLevel
     m.params.ArithmeticDtype = args.Dtype
+    m.params.Threads = args.Threads
     set_parameter(m, "IPM_TimeLimit", args.TimeLimit)
     set_parameter(m, "IPM_IterationsLimit", args.IterationsLimit)
     set_parameter(m, "Presolve_Level", args.Presolve)

@@ -44,7 +44,10 @@ def rcm_bandwidth(A: np.ndarray) -> Tuple[np.ndarray, int]:
     import scipy.sparse as sp
     from scipy.sparse.csgraph import reverse_cuthill_mckee
 
-    pattern = sp.csr_matrix((np.abs(A) > 0).astype(np.int8))
+    # int32 accumulator: with int8, >=128 shared columns overflows and can
+    # wrap to exactly 0 (e.g. 512 ≡ 0 mod 256), silently erasing K entries
+    # and mis-classifying dense matrices as banded.
+    pattern = sp.csr_matrix((np.abs(A) > 0).astype(np.int32))
     Kpat = (pattern @ pattern.T).tocsr()
     perm = np.asarray(reverse_cuthill_mckee(Kpat, symmetric_mode=True))
     Kp = Kpat[perm][:, perm].tocoo()

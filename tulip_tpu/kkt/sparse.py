@@ -46,7 +46,9 @@ def tile_plan(A_np: np.ndarray, block: int):
     from scipy.sparse.csgraph import reverse_cuthill_mckee
 
     m, n = A_np.shape
-    pattern = sp.csr_matrix((np.abs(A_np) > 0).astype(np.int8))
+    # int32 accumulator — int8 overflow can wrap counts to exactly 0 and
+    # erase K-pattern entries (see rcm_bandwidth).
+    pattern = sp.csr_matrix((np.abs(A_np) > 0).astype(np.int32))
     Kpat = (pattern @ pattern.T).tocsr()
     perm = np.asarray(reverse_cuthill_mckee(Kpat, symmetric_mode=True))
 

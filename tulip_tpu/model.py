@@ -102,6 +102,13 @@ class Model:
         backend_name = params.KKT.Backend
         refinement = params.KKT.RefinementSteps
         if backend_name is None and params.KKT.System in (None, "K1") \
+                and dat.A.shape[0] >= 2048:
+            # Large problem: probe for exploitable structure on the host
+            # (measured on TPU v5e, f32 staircase m=4096: banded 5.6 ms,
+            # tiled sparse 7.4 ms, dense 17.2 ms per factorize+solve;
+            # crossover vs dense is at m ≈ 2048).
+            backend_name = _probe_structure(np.asarray(dat.A))
+        if backend_name is None and params.KKT.System in (None, "K1") \
                 and dtype == np.float32:
             import jax
             if jax.default_backend() == "tpu":
@@ -176,6 +183,24 @@ class Model:
         self.status = TerminationStatus(int(state.status))
         self.solve_time = time.time() - t0
         return self.status
+
+
+def _probe_structure(A_np: np.ndarray) -> Optional[str]:
+    """Pick a structure-exploiting K1 backend for a large problem, or None
+    for the dense default. Banded when RCM finds a narrow band (pure
+    staircases), else tiled-sparse when the filled tile pattern is sparse
+    (cyclic/corner coupling); both backends re-fall-back internally."""
+    from .kkt.banded import rcm_bandwidth
+    from .kkt.sparse import tile_plan
+
+    m = A_np.shape[0]
+    _, bw = rcm_bandwidth(A_np)
+    bw_block = max(128, -(-max(bw, 1) // 128) * 128)
+    if 2 * bw_block <= m // 4:
+        return "banded"
+    if tile_plan(A_np, 128) is not None:
+        return "sparse"
+    return None
 
 
 def _validate_certificates(pb: ProblemData, sol: Solution,
