@@ -150,3 +150,33 @@ def test_warm_start_reduces_iterations():
     assert int(cold.status) == OPT and int(warm.status) == OPT
     assert abs(float(cold.pobj) - float(warm.pobj)) < 1e-6
     assert int(warm.niter) <= int(cold.niter)
+
+
+def test_batch_linprog_heterogeneous():
+    """High-level batched entry: mixed-shape instances in one device
+    program, objective parity with HiGHS, per-lane statuses."""
+    from scipy.optimize import linprog as slp
+
+    import tulip_tpu as tlp
+
+    rng = np.random.default_rng(0)
+    probs, refs = [], []
+    for _ in range(6):
+        m, n = int(rng.integers(4, 10)), int(rng.integers(10, 20))
+        A = rng.standard_normal((m, n))
+        u = rng.uniform(1, 4, n)
+        x0 = u * rng.uniform(0.2, 0.8, n)
+        b = A @ x0
+        c = rng.standard_normal(n)
+        bounds = list(zip(np.zeros(n), u))
+        probs.append(dict(c=c, A_eq=A, b_eq=b, bounds=bounds))
+        refs.append(slp(c, A_eq=A, b_eq=b, bounds=bounds, method="highs"))
+    probs.append(dict(c=[1.0], A_eq=[[1.0]], b_eq=[5.0],
+                      bounds=[(0.0, 1.0)]))  # infeasible lane
+
+    res = tlp.batch_linprog(probs, dtype="float64")
+    for r, ref in zip(res[:-1], refs):
+        assert r.success
+        assert abs(r.fun - ref.fun) < 1e-6 * max(1.0, abs(ref.fun))
+        np.testing.assert_allclose(r.x, ref.x, atol=1e-5)
+    assert res[-1].status == 2 and not res[-1].success

@@ -37,7 +37,7 @@ from .api import (  # noqa: E402
     get_attribute,
     set_attribute,
 )
-from .linprog import linprog  # noqa: E402
+from .linprog import batch_linprog, linprog  # noqa: E402
 
 __all__ = [
     "TerminationStatus",
@@ -55,6 +55,7 @@ __all__ = [
     "get_attribute",
     "set_attribute",
     "linprog",
+    "batch_linprog",
 ]
 
 

@@ -46,16 +46,10 @@ _STATUS_MAP = {
 }
 
 
-def linprog(c, A_ub=None, b_ub=None, A_eq=None, b_eq=None,
-            bounds: Optional[Sequence] = None, *,
-            params: Optional[Parameters] = None) -> LinprogResult:
-    """Minimize ``c @ x`` s.t. ``A_ub x <= b_ub``, ``A_eq x = b_eq``,
-    ``bounds[j] = (lb, ub)`` (default ``(0, None)`` like scipy)."""
+def _fill_pbdata(pb, c, A_ub, b_ub, A_eq, b_eq, bounds):
+    """Populate a ProblemData from scipy-linprog-style inputs; returns n."""
     c = np.atleast_1d(np.asarray(c, dtype=float))
     n = c.shape[0]
-
-    m = Model(params)
-    pb = m.pbdata
     if bounds is None:
         bounds = [(0.0, None)] * n
     elif len(bounds) == 2 and np.isscalar(bounds[0]):
@@ -82,6 +76,16 @@ def linprog(c, A_ub=None, b_ub=None, A_eq=None, b_eq=None,
 
     add_rows(A_eq, b_eq, True)
     add_rows(A_ub, b_ub, False)
+    return n
+
+
+def linprog(c, A_ub=None, b_ub=None, A_eq=None, b_eq=None,
+            bounds: Optional[Sequence] = None, *,
+            params: Optional[Parameters] = None) -> LinprogResult:
+    """Minimize ``c @ x`` s.t. ``A_ub x <= b_ub``, ``A_eq x = b_eq``,
+    ``bounds[j] = (lb, ub)`` (default ``(0, None)`` like scipy)."""
+    m = Model(params)
+    n = _fill_pbdata(m.pbdata, c, A_ub, b_ub, A_eq, b_eq, bounds)
 
     st = m.optimize()
     code, msg = _STATUS_MAP.get(st, (4, st.name))
@@ -97,3 +101,83 @@ def linprog(c, A_ub=None, b_ub=None, A_eq=None, b_eq=None,
         y=(sol.y_lower - sol.y_upper) if sol is not None else None,
         s=(sol.s_lower - sol.s_upper) if sol is not None else None,
     )
+
+
+# Scipy status codes for per-lane mapping (HSD TerminationStatus value ->
+# (scipy code, message)); see _STATUS_MAP above.
+def batch_linprog(problems: Sequence[dict], *, dtype="float32",
+                  params: Optional[Parameters] = None,
+                  backend=None) -> list:
+    """Solve MANY independent LPs in one vmapped device program.
+
+    No scipy or reference analogue — this is the TPU-native scaling axis
+    (SURVEY §2.6 DP row): every instance's iterates, residuals and KKT
+    factorizations gain a leading batch dimension, so the per-iteration
+    work is batched GEMM/Cholesky on the MXU.
+
+    ``problems``: sequence of dicts with :func:`linprog` keywords
+    (``c`` required; ``A_ub``/``b_ub``/``A_eq``/``b_eq``/``bounds``
+    optional). Heterogeneous shapes are padded to the common standard-form
+    envelope (padded columns pinned to 0, padded rows 0·x=0 — see
+    :func:`tulip_tpu.ipm.batch.pad_lp`), so one compilation covers the
+    whole batch; convergence is tracked per instance.
+
+    Returns a list of :class:`LinprogResult` (duals in standard-form row
+    order: equality rows first, then inequality rows).
+    """
+    import jax
+
+    from .ipm.batch import batched_hsd_solve, stack_lps
+    from .ipm.data import lp_data_from_problem
+    from .ipm.hsd import HSDOptions
+    from .kkt import DenseK1Backend, PallasSmallK1Backend
+    from .problem import ProblemData
+
+    params = params or Parameters()
+    dt = np.dtype(dtype)
+
+    dats, meta = [], []
+    for kw in problems:
+        pb = ProblemData()
+        n = _fill_pbdata(pb, kw["c"], kw.get("A_ub"), kw.get("b_ub"),
+                         kw.get("A_eq"), kw.get("b_eq"), kw.get("bounds"))
+        dat, n_struct, _ = lp_data_from_problem(pb, dtype=dt)
+        dats.append(dat)
+        meta.append((n, pb.ncon, np.asarray(pb.obj, dtype=float), pb.obj0))
+    stacked = stack_lps(dats)
+
+    if backend is None:
+        if dt == np.float32 and jax.default_backend() == "tpu":
+            backend = PallasSmallK1Backend(refinement_steps=1)
+        else:
+            backend = DenseK1Backend(
+                inv_factor=True,
+                refinement_steps=1 if dt == np.float32 else 0)
+    ipm = params.IPM.resolved(dt)
+    opts = HSDOptions(
+        TolerancePFeas=ipm.TolerancePFeas, ToleranceDFeas=ipm.ToleranceDFeas,
+        ToleranceRGap=ipm.ToleranceRGap, ToleranceIFeas=ipm.ToleranceIFeas,
+        IterationsLimit=ipm.IterationsLimit,
+        PRegMin=max(ipm.PRegMin, 1e-6 if dt == np.float32 else 0.0),
+        DRegMin=max(ipm.DRegMin, 1e-6 if dt == np.float32 else 0.0),
+    )
+
+    out = batched_hsd_solve(backend, opts, stacked)
+    tau = np.asarray(out.pt.tau)
+    X = np.asarray(out.pt.x) / tau[:, None]
+    Y = np.asarray(out.pt.y) / tau[:, None]
+    statuses = np.asarray(out.status)
+    niters = np.asarray(out.niter)
+
+    results = []
+    for i, (n, ncon, cvec, c0) in enumerate(meta):
+        st = TerminationStatus(int(statuses[i]))
+        code, msg = _STATUS_MAP.get(st, (4, st.name))
+        x = X[i, :n].astype(float)
+        fun = (float(cvec @ x + c0)
+               if st == TerminationStatus.OPTIMAL else np.nan)
+        results.append(LinprogResult(
+            x=x, fun=fun, success=st == TerminationStatus.OPTIMAL,
+            status=code, message=msg, nit=int(niters[i]), termination=st,
+            y=Y[i, :ncon].astype(float)))
+    return results
