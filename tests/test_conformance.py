@@ -264,3 +264,25 @@ def test_zero_iteration_limit_statuses(algo):
     x = pb.add_variable((), (), 1.0, 0.0, 1.0)
     pb.add_constraint([x], [1.0], 0.5, 0.5)
     assert m.optimize() == TerminationStatus.ITERATION_LIMIT
+
+
+def test_profile_dir_emits_trace(tmp_path):
+    """ProfileDir wraps the IPM phase in jax.profiler.trace (device-side
+    analogue of the reference's TimerOutputs, SURVEY §5)."""
+    import os
+
+    import tulip_tpu as tlp
+
+    m = tlp.Model()
+    m.pbdata.add_variable((), (), 1.0, 0.0, 2.0)
+    m.pbdata.add_constraint([0], [1.0], 1.0, 1.0)
+    m.params.ProfileDir = str(tmp_path)
+    m.params.Presolve.Level = 0   # ensure the IPM phase actually runs
+    st = m.optimize()
+    assert int(st) == 2
+    traced = []
+    for root, _, files in os.walk(tmp_path):
+        traced += [f for f in files if f.endswith((".pb", ".json.gz",
+                                                   ".trace.json.gz",
+                                                   ".xplane.pb"))]
+    assert traced, "no profiler artifacts written"

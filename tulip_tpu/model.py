@@ -120,6 +120,12 @@ class Model:
         backend = make_backend(backend_name, params.KKT.System, refinement)
         ipm_opts = params.IPM.resolved(dtype)
 
+        import contextlib
+        profile_ctx = contextlib.nullcontext()
+        if params.ProfileDir:
+            import jax
+            profile_ctx = jax.profiler.trace(params.ProfileDir)
+
         algo = params.IPM.Algorithm.upper()
         if algo == "HSD":
             opts = HSDOptions(
@@ -138,7 +144,8 @@ class Model:
                 OutputLevel=max(params.OutputLevel, ipm_opts.OutputLevel),
             )
             t_ = time.time()
-            state = hsd_solve(dat, backend, opts)
+            with profile_ctx:
+                state = hsd_solve(dat, backend, opts)
             self.timings["ipm"] = time.time() - t_
         elif algo == "MPC":
             opts = MPCOptions(
@@ -156,7 +163,8 @@ class Model:
                 OutputLevel=max(params.OutputLevel, ipm_opts.OutputLevel),
             )
             t_ = time.time()
-            state = mpc_solve(dat, backend, opts)
+            with profile_ctx:
+                state = mpc_solve(dat, backend, opts)
             self.timings["ipm"] = time.time() - t_
         else:
             raise ValueError(f"Unknown IPM algorithm {params.IPM.Algorithm!r}")

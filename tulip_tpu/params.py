@@ -101,6 +101,11 @@ class Parameters:
     Threads: int = 1  # kept for API parity; XLA manages device parallelism
     # numpy dtype for all device arrays; float64 for Tulip-parity tolerances.
     ArithmeticDtype: str = "float64"
+    # When set, the IPM phase runs under jax.profiler.trace(ProfileDir):
+    # the device-side analogue of the reference's TimerOutputs tracing
+    # (reference: src/IPM/HSD/HSD.jl:22 @timeit annotations); host-side
+    # phase timers live in Model.timings. View with TensorBoard/XProf.
+    ProfileDir: str = ""
 
     Presolve: PresolveOptions = dataclasses.field(default_factory=PresolveOptions)
     IPM: IPMOptions = dataclasses.field(default_factory=IPMOptions)
