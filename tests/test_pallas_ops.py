@@ -66,3 +66,23 @@ def test_batched_chol_inverse_nondivisible_batch():
     err = jnp.max(jnp.abs(jnp.einsum("bij,bjk->bik", Li, L)
                           - jnp.eye(12, dtype=jnp.float32)))
     assert float(err) < 1e-4
+
+
+def test_packed_chol_inverse_interpret():
+    """Lane-packed kernel variant (p instances side-by-side in the lane
+    dim) matches numpy across pack factors and odd batch sizes."""
+    import numpy as np
+
+    from tulip_tpu.ops.chol import batched_cholesky_inverse_pallas
+
+    rng = np.random.default_rng(0)
+    for B, m, pack in [(5, 48, 2), (3, 20, 3), (7, 64, 2), (9, 16, 4)]:
+        X = rng.standard_normal((B, m, m)).astype(np.float32)
+        K = np.einsum("bij,bkj->bik", X, X) + 3 * m * np.eye(
+            m, dtype=np.float32)
+        Li = batched_cholesky_inverse_pallas(jnp.asarray(K), pack=pack,
+                                             interpret=True)
+        for i in range(B):
+            L = np.linalg.cholesky(K[i])
+            np.testing.assert_allclose(np.asarray(Li[i]), np.linalg.inv(L),
+                                       atol=5e-5)
