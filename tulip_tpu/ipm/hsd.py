@@ -140,11 +140,26 @@ class NewtonAux(NamedTuple):
     cpx: jnp.ndarray
 
 
+def augmented_rhs(dat: LPData, pt: Point, xi_l, xi_u, xi_d, xi_xzl, xi_xzu):
+    """Modified dual RHS of the reduced augmented system
+    (reference: src/IPM/HSD/step.jl:210-214). Split out so callers can
+    batch several independent Newton solves into ONE multi-RHS KKT solve."""
+    lf, uf = dat.lflag, dat.uflag
+    xl_s = jnp.where(lf > 0, pt.xl, 1.0)
+    xu_s = jnp.where(uf > 0, pt.xu, 1.0)
+    return xi_d + (-((xi_xzl + pt.zl * xi_l) / xl_s) * lf
+                   + ((xi_xzu - pt.zu * xi_u) / xu_s) * uf)
+
+
 def solve_newton_system(dat: LPData, pt: Point, kkt_solve, aux: NewtonAux,
                         xi_p, xi_l, xi_u, xi_d, xi_g, xi_xzl, xi_xzu, xi_tk,
-                        ) -> Point:
+                        solved=None) -> Point:
     """Solve the 8-block HSD Newton system by reduction to one augmented
     solve plus closed-form recovery (reference: src/IPM/HSD/step.jl:198-266).
+
+    ``solved``: optional precomputed (dx, dy) of the augmented system with
+    RHS (xi_p, augmented_rhs(...)) — lets the caller fuse this solve into
+    a multi-RHS batch.
     """
     lf, uf = dat.lflag, dat.uflag
     xl_s = jnp.where(lf > 0, pt.xl, 1.0)
@@ -153,9 +168,11 @@ def solve_newton_system(dat: LPData, pt: Point, kkt_solve, aux: NewtonAux,
     uu = dat.u * uf
 
     # I. Augmented solve with modified dual RHS (step.jl:210-214).
-    xi_d_ = xi_d + (-((xi_xzl + pt.zl * xi_l) / xl_s) * lf
-                    + ((xi_xzu - pt.zu * xi_u) / xu_s) * uf)
-    dx, dy = kkt_solve(xi_p, xi_d_)
+    if solved is None:
+        xi_d_ = augmented_rhs(dat, pt, xi_l, xi_u, xi_d, xi_xzl, xi_xzu)
+        dx, dy = kkt_solve(xi_p, xi_d_)
+    else:
+        dx, dy = solved
 
     # II. Recover Δτ (step.jl:218-233).
     xi_g_ = (xi_g + xi_tk / pt.tau
@@ -303,6 +320,11 @@ def compute_step(backend, opts: HSDOptions, dat: LPData, state: HSDState,
     uu = dat.u * uf
 
     # Preliminary solve enabling Δτ recovery (step.jl:58-76).
+    # (A 2-RHS fusion with the predictor solve — vmap over stacked RHS —
+    # was measured SLOWER on this image's per-op-latency-bound platform:
+    # 14.2k vs 15.8k solves/s on the 2048-LP bench; the stack/slice ops
+    # and the vmapped backsolve lowering cost more than the saved chain.
+    # augmented_rhs/solved= support remains for multi-RHS callers.)
     xi_ = dat.c - theta_l * ll - theta_u * uu
     hx, hy = kkt_solve(dat.b, xi_)
     cpx = dat.c + theta_l * ll + theta_u * uu
