@@ -559,6 +559,12 @@ def hsd_solve(dat: LPData, backend, opts: HSDOptions,
         print("\nOptimizer info (HSD)")
         print(f"Constraints  : {dat.nrow}")
         print(f"Variables    : {dat.ncol}")
+        # Linear-solver introspection (reference: src/IPM/HSD/HSD.jl:214-230
+        # via KKT.arithmetic/backend/linear_system, src/KKT/KKT.jl:103-121).
+        print("Linear solver:")
+        print(f"  Arithmetic : {jnp.dtype(dat.c.dtype).name}")
+        print(f"  Backend    : {backend.name}")
+        print(f"  System     : {backend.linear_system()}")
         print(f"\n{'Itn':>4}  {'PObj':>14}  {'DObj':>14}  "
               f"{'PFeas':>8} {'DFeas':>8} {'GFeas':>8}  {'Mu':>7}  Time")
 

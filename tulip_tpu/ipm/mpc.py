@@ -436,6 +436,10 @@ def mpc_solve(dat: LPData, backend, opts: MPCOptions, log_fn=None) -> HSDState:
         print("\nOptimizer info (MPC)")
         print(f"Constraints  : {dat.nrow}")
         print(f"Variables    : {dat.ncol}")
+        print("Linear solver:")
+        print(f"  Arithmetic : {jnp.dtype(dat.c.dtype).name}")
+        print(f"  Backend    : {backend.name}")
+        print(f"  System     : {backend.linear_system()}")
 
     prev_niter = -1
     while True:
