@@ -86,3 +86,73 @@ def test_packed_chol_inverse_interpret():
             L = np.linalg.cholesky(K[i])
             np.testing.assert_allclose(np.asarray(Li[i]), np.linalg.inv(L),
                                        atol=5e-5)
+
+
+def test_fused_k1_solve_interpret():
+    """Fused solve kernel (RHS assembly + inverse-factor applications +
+    refinement in one op) matches the augmented-system contract and its
+    custom_vmap rule matches the batched entry."""
+    import numpy as np
+
+    from tulip_tpu.ops.solve import fused_k1_solve
+
+    rng = np.random.default_rng(0)
+    B, m, n = 6, 48, 96
+    A = jnp.asarray(rng.standard_normal((B, m, n)), jnp.float32)
+    treg = jnp.asarray(10.0 ** rng.uniform(-2, 2, (B, n)), jnp.float32)
+    d = 1.0 / treg
+    regD = jnp.full((B, m), 1e-4, jnp.float32)
+    xi_p = jnp.asarray(rng.standard_normal((B, m)), jnp.float32)
+    xi_d = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
+    K = np.einsum("bij,bkj->bik",
+                  np.asarray(A) * np.asarray(d)[:, None, :], np.asarray(A))
+    K += np.asarray(regD)[:, :, None] * np.eye(m)[None]
+    Li = jnp.asarray(np.stack([np.linalg.inv(np.linalg.cholesky(K[i]))
+                               for i in range(B)]), jnp.float32)
+
+    dx, dy = fused_k1_solve(A, Li, d, treg, regD, xi_p, xi_d, refine=2,
+                            interpret=True)
+    rd = np.asarray(xi_d) - (-(np.asarray(treg) * np.asarray(dx))
+                             + np.einsum("bij,bi->bj", np.asarray(A),
+                                         np.asarray(dy)))
+    rp = np.asarray(xi_p) - (np.einsum("bij,bj->bi", np.asarray(A),
+                                       np.asarray(dx))
+                             + np.asarray(regD) * np.asarray(dy))
+    assert np.abs(rd).max() < 1e-4
+    assert np.abs(rp).max() < 1e-4
+
+    fv = jax.vmap(lambda a, li, dd, tr, rg, p, q: fused_k1_solve(
+        a, li, dd, tr, rg, p, q, refine=2, interpret=True))
+    dx2, dy2 = fv(A, Li, d, treg, regD, xi_p, xi_d)
+    np.testing.assert_array_equal(np.asarray(dx), np.asarray(dx2))
+    np.testing.assert_array_equal(np.asarray(dy), np.asarray(dy2))
+
+
+def test_pallas_small_fused_solve_end_to_end():
+    """HSD solve through the fused-solve variant (interpret mode) matches
+    HiGHS."""
+    import numpy as np
+    from scipy.optimize import linprog
+
+    from tulip_tpu.ipm.data import make_lp_data
+    from tulip_tpu.ipm.hsd import HSDOptions, hsd_solve
+    from tulip_tpu.kkt import PallasSmallK1Backend
+
+    rng = np.random.default_rng(4)
+    m, n = 10, 20
+    A = rng.standard_normal((m, n))
+    u = rng.uniform(1, 4, n)
+    x0 = u * rng.uniform(0.2, 0.8, n)
+    b = A @ x0
+    c = rng.standard_normal(n)
+    dat = make_lp_data(A, b, c, 0.0, np.zeros(n), u, dtype=jnp.float32)
+    out = hsd_solve(dat, PallasSmallK1Backend(interpret=True,
+                                              fused_solve=True,
+                                              refinement_steps=1),
+                    HSDOptions(TolerancePFeas=3e-4, ToleranceDFeas=3e-4,
+                               ToleranceRGap=3e-4, ToleranceIFeas=3e-4,
+                               PRegMin=1e-6, DRegMin=1e-6))
+    assert int(out.status) == 2
+    r = linprog(c, A_eq=A, b_eq=b, bounds=list(zip(np.zeros(n), u)),
+                method="highs")
+    assert abs(float(out.pobj) - r.fun) < 1e-2 * max(1, abs(r.fun))

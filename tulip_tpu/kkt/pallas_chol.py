@@ -102,6 +102,12 @@ class PallasSmallK1Backend(DenseK1Backend):
     name = "pallas-small"
     inv_factor: bool = True
     interpret: bool = False  # run kernel in interpreter mode (CPU tests)
+    # Use the fully fused solve kernel (ops/solve.py). Off by default:
+    # measured 8.6k vs 15.8k solves/s on the 2048-LP bench on this image's
+    # relay platform, whose in-program Pallas DMA streams run far below
+    # the standalone rate; on directly attached hardware the fused path
+    # trades ~10 XLA ops per refined solve for one kernel.
+    fused_solve: bool = False
 
     def _use_pallas(self, dtype, m) -> bool:
         if self.interpret:
@@ -135,6 +141,21 @@ class PallasSmallK1Backend(DenseK1Backend):
         dy = Li.T @ (Li @ rhs)
         dx = d * (A.T @ dy - xi_d)
         return dx, dy
+
+    def solve(self, state, xi_p, xi_d):
+        """Optionally fused solve: RHS assembly + L⁻¹/L⁻ᵀ + dx recovery +
+        refinement sweeps as ONE Pallas op per batch block (the XLA chain
+        is 4+ ops per solve). Enabled by ``fused_solve=True``; falls back
+        to the XLA inverse-factor path off-TPU or for f64."""
+        A = state.A
+        if not (self.fused_solve
+                and self._use_pallas(A.dtype, A.shape[0])):
+            return DenseK1Backend.solve(self, state, xi_p, xi_d)
+        from ..ops.solve import fused_k1_solve
+        return fused_k1_solve(A, state.L, state.d, state.theta_reg,
+                              state.regD, xi_p, xi_d,
+                              refine=self.refinement_steps,
+                              interpret=self.interpret)
 
 
 @dataclasses.dataclass(frozen=True)
