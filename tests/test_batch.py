@@ -180,3 +180,25 @@ def test_batch_linprog_heterogeneous():
         assert abs(r.fun - ref.fun) < 1e-6 * max(1.0, abs(ref.fun))
         np.testing.assert_allclose(r.x, ref.x, atol=1e-5)
     assert res[-1].status == 2 and not res[-1].success
+
+
+def test_batch_linprog_mpc():
+    """The batched entry also runs the MPC algorithm."""
+    from scipy.optimize import linprog as slp
+
+    import tulip_tpu as tlp
+
+    rng = np.random.default_rng(3)
+    m, n = 6, 12
+    A = rng.standard_normal((m, n))
+    u = rng.uniform(1, 4, n)
+    x0 = u * rng.uniform(0.2, 0.8, n)
+    b = A @ x0
+    c = rng.standard_normal(n)
+    bounds = list(zip(np.zeros(n), u))
+    ref = slp(c, A_eq=A, b_eq=b, bounds=bounds, method="highs")
+    res = tlp.batch_linprog([dict(c=c, A_eq=A, b_eq=b, bounds=bounds)] * 3,
+                            dtype="float64", algorithm="MPC")
+    for r in res:
+        assert r.success
+        assert abs(r.fun - ref.fun) < 1e-6 * max(1.0, abs(ref.fun))

@@ -107,7 +107,7 @@ def linprog(c, A_ub=None, b_ub=None, A_eq=None, b_eq=None,
 # (scipy code, message)); see _STATUS_MAP above.
 def batch_linprog(problems: Sequence[dict], *, dtype="float32",
                   params: Optional[Parameters] = None,
-                  backend=None) -> list:
+                  backend=None, algorithm: str = "HSD") -> list:
     """Solve MANY independent LPs in one vmapped device program.
 
     No scipy or reference analogue — this is the TPU-native scaling axis
@@ -127,9 +127,11 @@ def batch_linprog(problems: Sequence[dict], *, dtype="float32",
     """
     import jax
 
-    from .ipm.batch import batched_hsd_solve, stack_lps
+    from .ipm.batch import (batched_hsd_solve, batched_mpc_solve,
+                            stack_lps)
     from .ipm.data import lp_data_from_problem
     from .ipm.hsd import HSDOptions
+    from .ipm.mpc import MPCOptions
     from .kkt import DenseK1Backend, PallasSmallK1Backend
     from .problem import ProblemData
 
@@ -154,7 +156,7 @@ def batch_linprog(problems: Sequence[dict], *, dtype="float32",
                 inv_factor=True,
                 refinement_steps=1 if dt == np.float32 else 0)
     ipm = params.IPM.resolved(dt)
-    opts = HSDOptions(
+    opt_kw = dict(
         TolerancePFeas=ipm.TolerancePFeas, ToleranceDFeas=ipm.ToleranceDFeas,
         ToleranceRGap=ipm.ToleranceRGap, ToleranceIFeas=ipm.ToleranceIFeas,
         IterationsLimit=ipm.IterationsLimit,
@@ -162,7 +164,13 @@ def batch_linprog(problems: Sequence[dict], *, dtype="float32",
         DRegMin=max(ipm.DRegMin, 1e-6 if dt == np.float32 else 0.0),
     )
 
-    out = batched_hsd_solve(backend, opts, stacked)
+    algorithm = algorithm.upper()
+    if algorithm == "HSD":
+        out = batched_hsd_solve(backend, HSDOptions(**opt_kw), stacked)
+    elif algorithm == "MPC":
+        out = batched_mpc_solve(backend, MPCOptions(**opt_kw), stacked)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     tau = np.asarray(out.pt.tau)
     X = np.asarray(out.pt.x) / tau[:, None]
     Y = np.asarray(out.pt.y) / tau[:, None]
