@@ -29,6 +29,19 @@ def main():
           f"mean iterations {np.asarray(out.niter).mean():.1f}")
     print("objectives:", np.round(np.asarray(out.pobj), 4))
 
+    # High-level equivalent: one call, heterogeneous shapes allowed.
+    probs = []
+    for k in range(4):
+        n = 8 + 2 * k                      # mixed sizes in one batch
+        A = rng.standard_normal((4, n))
+        u = rng.uniform(1, 4, n)
+        x0 = u * rng.uniform(0.2, 0.8, n)
+        probs.append(dict(c=rng.standard_normal(n), A_eq=A, b_eq=A @ x0,
+                          bounds=list(zip(np.zeros(n), u))))
+    import tulip_tpu as tlp
+    res = tlp.batch_linprog(probs, dtype="float64")
+    print("batch_linprog:", [round(r.fun, 4) for r in res])
+
 
 if __name__ == "__main__":
     main()
