@@ -202,3 +202,43 @@ def test_batch_linprog_mpc():
     for r in res:
         assert r.success
         assert abs(r.fun - ref.fun) < 1e-6 * max(1.0, abs(ref.fun))
+
+
+def test_batch_linprog_presolve_paths():
+    """Presolve inside the batched entry: decided-by-presolve lanes (bound
+    conflict) never reach the device; reduced lanes postsolve back to the
+    original space; presolve=False matches."""
+    from scipy.optimize import linprog as slp
+
+    import tulip_tpu as tlp
+
+    rng = np.random.default_rng(7)
+    m, n = 5, 10
+    A = rng.standard_normal((m, n))
+    u = rng.uniform(1, 4, n)
+    x0 = u * rng.uniform(0.2, 0.8, n)
+    b = A @ x0
+    c = rng.standard_normal(n)
+    bounds = list(zip(np.zeros(n), u))
+    # Lane with a fixed variable (l == u) exercising a presolve reduction.
+    bounds_fix = list(bounds)
+    bounds_fix[3] = (u[3] * 0.5, u[3] * 0.5)
+    probs = [
+        dict(c=c, A_eq=A, b_eq=b, bounds=bounds),
+        dict(c=c, A_eq=A, b_eq=b, bounds=bounds_fix),
+        dict(c=[1.0, 1.0], A_eq=[[1.0, 0.0]], b_eq=[5.0],
+             bounds=[(0.0, 1.0), (0.0, 1.0)]),   # presolve-decided: infeasible
+    ]
+    res = tlp.batch_linprog(probs, dtype="float64")
+    assert res[2].status == 2 and res[2].nit == 0   # decided on the host
+    for k in (0, 1):
+        ref = slp(probs[k]["c"], A_eq=probs[k]["A_eq"],
+                  b_eq=probs[k]["b_eq"], bounds=probs[k]["bounds"],
+                  method="highs")
+        assert res[k].success
+        assert abs(res[k].fun - ref.fun) < 1e-6 * max(1.0, abs(ref.fun))
+        np.testing.assert_allclose(res[k].x, ref.x, atol=1e-5)
+
+    res_np = tlp.batch_linprog(probs[:2], dtype="float64", presolve=False)
+    for k in (0, 1):
+        assert abs(res_np[k].fun - res[k].fun) < 1e-6

@@ -11,6 +11,7 @@ programmatic surface):
 from __future__ import annotations
 
 import dataclasses
+from types import SimpleNamespace
 from typing import Optional, Sequence
 
 import numpy as np
@@ -107,7 +108,8 @@ def linprog(c, A_ub=None, b_ub=None, A_eq=None, b_eq=None,
 # (scipy code, message)); see _STATUS_MAP above.
 def batch_linprog(problems: Sequence[dict], *, dtype="float32",
                   params: Optional[Parameters] = None,
-                  backend=None, algorithm: str = "HSD") -> list:
+                  backend=None, algorithm: str = "HSD",
+                  presolve: Optional[bool] = None) -> list:
     """Solve MANY independent LPs in one vmapped device program.
 
     No scipy or reference analogue — this is the TPU-native scaling axis
@@ -122,6 +124,12 @@ def batch_linprog(problems: Sequence[dict], *, dtype="float32",
     :func:`tulip_tpu.ipm.batch.pad_lp`), so one compilation covers the
     whole batch; convergence is tracked per instance.
 
+    ``presolve`` (default: follow ``params.Presolve.Level``): run the
+    full host presolve per instance; instances decided outright (e.g.
+    bound conflicts) never reach the device, and the rest solve in
+    reduced form with postsolve mapping back. Pass ``presolve=False``
+    for throughput-critical batches of already-clean instances.
+
     Returns a list of :class:`LinprogResult` (duals in standard-form row
     order: equality rows first, then inequality rows).
     """
@@ -133,19 +141,55 @@ def batch_linprog(problems: Sequence[dict], *, dtype="float32",
     from .ipm.hsd import HSDOptions
     from .ipm.mpc import MPCOptions
     from .kkt import DenseK1Backend, PallasSmallK1Backend
+    from .model import _extract_solution
+    from .presolve import PresolveData, postsolve
     from .problem import ProblemData
+    from .solution import Solution
 
     params = params or Parameters()
     dt = np.dtype(dtype)
+    if presolve is None:
+        presolve = params.Presolve.Level > 0
 
-    dats, meta = [], []
-    for kw in problems:
+    dats, meta, decided = [], [], {}
+    for idx, kw in enumerate(problems):
         pb = ProblemData()
         n = _fill_pbdata(pb, kw["c"], kw.get("A_ub"), kw.get("b_ub"),
                          kw.get("A_eq"), kw.get("b_eq"), kw.get("bounds"))
-        dat, n_struct, _ = lp_data_from_problem(pb, dtype=dt)
+        cvec = np.asarray(pb.obj, dtype=float)
+        ps = None
+        pb_ = pb
+        if presolve:
+            ps = PresolveData(pb, params.Presolve)
+            st = ps.presolve()
+            if st in (TerminationStatus.OPTIMAL,
+                      TerminationStatus.PRIMAL_INFEASIBLE,
+                      TerminationStatus.DUAL_INFEASIBLE,
+                      TerminationStatus.PRIMAL_DUAL_INFEASIBLE):
+                sol = Solution(pb.ncon, pb.nvar)
+                postsolve(sol, ps.solution, ps)
+                decided[idx] = (st, sol, cvec, pb.obj0, n, pb.ncon)
+                continue
+            pb_ = ps.extract_reduced_problem()
+        dat, n_struct, _ = lp_data_from_problem(pb_, dtype=dt)
         dats.append(dat)
-        meta.append((n, pb.ncon, np.asarray(pb.obj, dtype=float), pb.obj0))
+        meta.append((idx, n, pb.ncon, cvec, pb.obj0, ps, pb, pb_, n_struct))
+
+    def _decided_result(st, sol, cvec, c0, n):
+        code, msg = _STATUS_MAP.get(st, (4, st.name))
+        x = np.asarray(sol.x[:n], dtype=float)
+        fun = (float(cvec @ x + c0)
+               if st == TerminationStatus.OPTIMAL else np.nan)
+        return LinprogResult(
+            x=x, fun=fun, success=st == TerminationStatus.OPTIMAL,
+            status=code, message=msg, nit=0, termination=st,
+            y=np.asarray(sol.y_lower) - np.asarray(sol.y_upper),
+            s=np.asarray(sol.s_lower) - np.asarray(sol.s_upper))
+
+    if not dats:                        # everything decided by presolve
+        return [_decided_result(*decided[i][:3], decided[i][3],
+                                decided[i][4])
+                for i in range(len(problems))]
     stacked = stack_lps(dats)
 
     if backend is None:
@@ -171,21 +215,43 @@ def batch_linprog(problems: Sequence[dict], *, dtype="float32",
         out = batched_mpc_solve(backend, MPCOptions(**opt_kw), stacked)
     else:
         raise ValueError(f"unknown algorithm {algorithm!r}")
-    tau = np.asarray(out.pt.tau)
-    X = np.asarray(out.pt.x) / tau[:, None]
-    Y = np.asarray(out.pt.y) / tau[:, None]
+    out = jax.device_get(out)
     statuses = np.asarray(out.status)
     niters = np.asarray(out.niter)
 
-    results = []
-    for i, (n, ncon, cvec, c0) in enumerate(meta):
-        st = TerminationStatus(int(statuses[i]))
+    results = [None] * len(problems)
+    for i, (st, sol, cvec, c0, n, _) in decided.items():
+        results[i] = _decided_result(st, sol, cvec, c0, n)
+
+    for lane, (idx, n, ncon, cvec, c0, ps, pb, pb_, n_struct) in \
+            enumerate(meta):
+        st = TerminationStatus(int(statuses[lane]))
         code, msg = _STATUS_MAP.get(st, (4, st.name))
-        x = X[i, :n].astype(float)
+        # Un-pad the lane back to the instance's true standard-form dims.
+        m_i, n_i = dats[lane].nrow, dats[lane].ncol
+        pt_i = SimpleNamespace(
+            x=out.pt.x[lane, :n_i], zl=out.pt.zl[lane, :n_i],
+            zu=out.pt.zu[lane, :n_i], y=out.pt.y[lane, :m_i],
+            tau=out.pt.tau[lane])
+        state_i = SimpleNamespace(
+            pt=pt_i, primal_status=out.primal_status[lane],
+            dual_status=out.dual_status[lane], pobj=out.pobj[lane],
+            dobj=out.dobj[lane])
+        if ps is not None:
+            sol_inner = Solution(pb_.ncon, pb_.nvar)
+            _extract_solution(sol_inner, pb_, state_i, n_struct)
+            sol = Solution(pb.ncon, pb.nvar)
+            postsolve(sol, sol_inner, ps)
+        else:
+            sol = Solution(pb.ncon, pb.nvar)
+            _extract_solution(sol, pb, state_i, n_struct)
+        x = np.asarray(sol.x[:n], dtype=float)
         fun = (float(cvec @ x + c0)
                if st == TerminationStatus.OPTIMAL else np.nan)
-        results.append(LinprogResult(
+        results[idx] = LinprogResult(
             x=x, fun=fun, success=st == TerminationStatus.OPTIMAL,
-            status=code, message=msg, nit=int(niters[i]), termination=st,
-            y=Y[i, :ncon].astype(float)))
+            status=code, message=msg, nit=int(niters[lane]),
+            termination=st,
+            y=np.asarray(sol.y_lower) - np.asarray(sol.y_upper),
+            s=np.asarray(sol.s_lower) - np.asarray(sol.s_upper))
     return results
