@@ -440,6 +440,8 @@ def mpc_solve(dat: LPData, backend, opts: MPCOptions, log_fn=None) -> HSDState:
         print(f"  Arithmetic : {jnp.dtype(dat.c.dtype).name}")
         print(f"  Backend    : {backend.name}")
         print(f"  System     : {backend.linear_system()}")
+        print(f"\n{'Itn':>4}  {'PObj':>14}  {'DObj':>14}  "
+              f"{'PFeas':>8} {'DFeas':>8}  {'Mu':>7}  Time")
 
     prev_niter = -1
     while True:
