@@ -242,3 +242,42 @@ def test_batch_linprog_presolve_paths():
     res_np = tlp.batch_linprog(probs[:2], dtype="float64", presolve=False)
     for k in (0, 1):
         assert abs(res_np[k].fun - res[k].fun) < 1e-6
+
+
+def test_batched_warm_resolve():
+    """Warm-started batched re-solve of perturbed instances converges in
+    fewer iterations than cold starts and agrees on objectives."""
+    import jax.numpy as jnp
+
+    from tulip_tpu.ipm.batch import (batched_hsd_resolve, batched_hsd_solve,
+                                     stack_lps)
+    from tulip_tpu.ipm.data import make_lp_data
+    from tulip_tpu.ipm.hsd import HSDOptions
+    from tulip_tpu.kkt import DenseK1Backend
+
+    rng = np.random.default_rng(0)
+
+    def make(perturb):
+        rng2 = np.random.default_rng(1)
+        lps = []
+        for _ in range(8):
+            A = rng2.standard_normal((8, 16))
+            u = rng2.uniform(1, 4, 16)
+            x0 = u * rng2.uniform(0.2, 0.8, 16)
+            c = rng2.standard_normal(16)
+            b = A @ x0
+            if perturb:
+                b = b * (1 + 0.01 * rng.standard_normal(8))
+            lps.append(make_lp_data(A, b, c, 0.0, np.zeros(16), u))
+        return stack_lps(lps)
+
+    be = DenseK1Backend()
+    opts = HSDOptions()
+    out0 = batched_hsd_solve(be, opts, make(False))
+    dats2 = make(True)
+    cold = batched_hsd_solve(be, opts, dats2)
+    warm = batched_hsd_resolve(be, opts, dats2, out0)
+    assert (np.asarray(warm.status) == 2).all()
+    assert np.asarray(warm.niter).mean() < np.asarray(cold.niter).mean()
+    np.testing.assert_allclose(np.asarray(warm.pobj), np.asarray(cold.pobj),
+                               rtol=1e-6, atol=1e-6)

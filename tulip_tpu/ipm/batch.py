@@ -87,6 +87,30 @@ def batched_hsd_solve(backend, opts: HSDOptions, dats: LPData) -> HSDState:
     return jax.vmap(lambda d: _solve_one(backend, opts, d))(dats)
 
 
+@partial(jax.jit, static_argnames=("backend", "opts", "lam"))
+@full_matmul_precision
+def batched_hsd_resolve(backend, opts: HSDOptions, dats: LPData,
+                        prev: HSDState, lam: float = 0.99) -> HSDState:
+    """Warm-started batched re-solve: each lane starts from the blended
+    homogeneous restart of its previous final state (:mod:`.warmstart`).
+    For perturbed-scenario sweeps this roughly halves iteration counts
+    versus cold starts."""
+    from .warmstart import warm_state
+
+    def solve_one(dat, pv):
+        state = warm_state(dat, backend, pv, lam=lam)
+
+        def cond(s):
+            return s.status == _UNKNOWN
+
+        def body(s):
+            return hsd_iteration(backend, opts, dat, s)
+
+        return jax.lax.while_loop(cond, body, state)
+
+    return jax.vmap(solve_one)(dats, prev)
+
+
 def _solve_one_mpc(backend, opts, dat: LPData) -> HSDState:
     from .mpc import init_state_mpc, mpc_iteration
 
