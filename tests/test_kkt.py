@@ -13,7 +13,7 @@ from tulip_tpu.kkt import (CgK1Backend, CrK1Backend, DenseK1Backend,
                            DenseK2Backend,
                            MinresK2Backend, PallasK1Backend,
                            PallasSmallK1Backend, SqdMinresK2Backend,
-                           TricgK2Backend, make_backend)
+                           SymmlqK2Backend, TricgK2Backend, make_backend)
 from tulip_tpu.kkt.dense_ldl import ldl_nopivot
 from tulip_tpu.kkt.testkit import run_ls_tests
 
@@ -34,6 +34,7 @@ BACKENDS = [
     MinresK2Backend(),
     TricgK2Backend(),
     SqdMinresK2Backend(),
+    SymmlqK2Backend(),
 ]
 
 
@@ -341,3 +342,21 @@ def test_rcm_pattern_no_int8_overflow():
     A = rng.standard_normal((300, 512))
     _, bw = rcm_bandwidth(A)
     assert bw == 299
+
+
+def test_symmlq_matches_direct_solve():
+    """SYMMLQ on a random symmetric INDEFINITE system matches a direct
+    solve (the regime Galerkin-on-tridiagonal must handle without
+    breakdown)."""
+    from tulip_tpu.kkt.krylov import symmlq
+
+    rng = np.random.default_rng(2)
+    n = 40
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    eigs = rng.uniform(0.5, 5.0, n)
+    eigs[: n // 3] *= -1.0
+    A = jnp.asarray(Q @ np.diag(eigs) @ Q.T)
+    b = jnp.asarray(rng.standard_normal(n))
+    x = symmlq(lambda v: A @ v, b, 1e-12, 400)
+    xd = np.linalg.solve(np.asarray(A), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(x), xd, rtol=1e-8, atol=1e-9)

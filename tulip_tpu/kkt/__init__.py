@@ -35,7 +35,7 @@ from .base import KKTBackend
 from .dense import DenseK1Backend
 from .dense_ldl import DenseK2Backend
 from .krylov import (CgK1Backend, CrK1Backend, MinresK2Backend,
-                     SqdMinresK2Backend, TricgK2Backend)
+                     SqdMinresK2Backend, SymmlqK2Backend, TricgK2Backend)
 from .mixed import MixedK1Backend
 from .pallas_chol import PallasK1Backend, PallasSmallK1Backend
 from .schur import SchurK1Backend
@@ -51,7 +51,8 @@ def register(cls: Type[KKTBackend]) -> Type[KKTBackend]:
 
 for _cls in (BandedK1Backend, DenseK1Backend, DenseK2Backend,
              CgK1Backend, CrK1Backend,
-             MinresK2Backend, SqdMinresK2Backend, TricgK2Backend,
+             MinresK2Backend, SqdMinresK2Backend, SymmlqK2Backend,
+             TricgK2Backend,
              MixedK1Backend,
              PallasK1Backend, PallasSmallK1Backend, SchurK1Backend,
              SparseK1Backend):
@@ -85,6 +86,7 @@ __all__ = [
     "CrK1Backend",
     "MinresK2Backend",
     "SqdMinresK2Backend",
+    "SymmlqK2Backend",
     "TricgK2Backend",
     "MixedK1Backend",
     "PallasK1Backend",

@@ -176,6 +176,86 @@ def cr(matvec: Callable, b: jnp.ndarray, precond: Callable, rtol,
     return out[0]
 
 
+def symmlq(matvec: Callable, b: jnp.ndarray, rtol, maxiter: int,
+           ) -> jnp.ndarray:
+    """SYMMLQ (Paige & Saunders 1975) for symmetric (possibly indefinite)
+    systems, as one ``lax.while_loop``.
+
+    Derivation used here: with Lanczos ``A V_k = V_{k+1} T̄_k``, the
+    Galerkin condition for x = V_{k+1} y reads ``T̄_kᵀ y = β₁ e₁``
+    (underdetermined); SYMMLQ takes the minimum-norm y via an LQ
+    factorization of T̄ᵀ built from symmetric reflection rotations
+    G_i = [[c, s], [s, -c]] on columns (i, i+1):
+
+        ε_k = s_{k-2} β_k,   δ_k = -c_{k-1} c_{k-2} β_k + s_{k-1} α_k,
+        γ̄_k = -s_{k-1} c_{k-2} β_k - c_{k-1} α_k,
+        γ_k = hypot(γ̄_k, β_{k+1}),  c_k = γ̄_k/γ_k,  s_k = β_{k+1}/γ_k
+
+    forward solve L z = β₁ e₁ and direction columns W = V Qᵀ via
+    ``w_k = c_k w̄_k + s_k v_{k+1}``, ``w̄_{k+1} = s_k w̄_k - c_k v_{k+1}``.
+    Stopping uses the true residual (one extra matvec per iteration —
+    SYMMLQ here is a conformance/fallback method; MINRES is the
+    production SID solver)."""
+    dt = b.dtype
+    one = jnp.ones((), dt)
+
+    def safe(x):
+        return jnp.where(x == 0, one, x)
+
+    beta1 = jnp.linalg.norm(b)
+    v1 = b / safe(beta1)
+    # First Lanczos step.
+    u = matvec(v1)
+    alpha1 = jnp.dot(v1, u)
+    u = u - alpha1 * v1
+    beta2 = jnp.linalg.norm(u)
+    v2 = u / safe(beta2)
+    tol = rtol * safe(beta1)
+
+    # carry: x, v_k, v_{k+1}, α_k, β_k, β_{k+1}, c_{k-2}, s_{k-2},
+    #        c_{k-1}, s_{k-1}, z_{k-2}, z_{k-1}, h (forward-solve RHS:
+    #        β₁ at k=1, then 0), w̄_k, k, rnorm.  c₀ = -1, s₀ = 0 make the
+    #        k=1,2 edge rows come out of the general recurrences.
+    carry0 = (jnp.zeros_like(b), v1, v2, alpha1, jnp.zeros((), dt), beta2,
+              -one, jnp.zeros((), dt), -one, jnp.zeros((), dt),
+              jnp.zeros((), dt), jnp.zeros((), dt), beta1, v1,
+              jnp.zeros((), jnp.int32), beta1)
+
+    def cond(c):
+        *_, k, rnorm = c
+        return (rnorm > tol) & (k < maxiter)
+
+    def body(c):
+        (x, vk, vk1, alpha, beta_k, beta_n, c2, s2, c1, s1, z2, z1, h,
+         wbar, k, _) = c
+        eps_k = s2 * beta_k
+        delta_k = -c1 * c2 * beta_k + s1 * alpha
+        gbar_k = -s1 * c2 * beta_k - c1 * alpha
+        gamma_k = jnp.sqrt(gbar_k ** 2 + beta_n ** 2)
+        ck = gbar_k / safe(gamma_k)
+        sk = beta_n / safe(gamma_k)
+        # Forward solve: z_k = (h - ε_k z_{k-2} - δ_k z_{k-1}) / γ_k with
+        # h = β₁ for k=1 and 0 after.
+        zk = (h - eps_k * z2 - delta_k * z1) / safe(gamma_k)
+        # Direction and iterate.
+        wk = ck * wbar + sk * vk1
+        wbar_next = sk * wbar - ck * vk1
+        x = x + zk * wk
+        # Next Lanczos step (α_{k+1}, β_{k+2}, v_{k+2}).
+        u = matvec(vk1) - beta_n * vk
+        alpha_next = jnp.dot(vk1, u)
+        u = u - alpha_next * vk1
+        beta_nn = jnp.linalg.norm(u)
+        v_next = u / safe(beta_nn)
+        # True residual for stopping (extra matvec).
+        rnorm = jnp.linalg.norm(b - matvec(x))
+        return (x, vk1, v_next, alpha_next, beta_n, beta_nn, c1, s1,
+                ck, sk, z1, zk, jnp.zeros((), dt), wbar_next, k + 1, rnorm)
+
+    out = jax.lax.while_loop(cond, body, carry0)
+    return out[0]
+
+
 def tricg(A, Mdiag, Ndiag, b, c, rtol, maxiter):
     """TriCG: Galerkin method for the symmetric quasi-definite system
 
@@ -461,3 +541,33 @@ class SqdMinresK2Backend(MinresK2Backend):
         rhs = jnp.concatenate([xi_d / f, xi_p / e])
         sol = minres(K2_mv, rhs, rtol, maxiter)
         return sol[:n] / f, sol[n:] / e
+
+
+@dataclasses.dataclass(frozen=True)
+class SymmlqK2Backend(MinresK2Backend):
+    """SYMMLQ on the augmented system (the reference's SID family also
+    exposes SYMMLQ, reference: src/KKT/Krylov/defs.jl:9-17). Galerkin
+    (minimum-error) counterpart of MINRES; kept as a conformance/fallback
+    option — it spends one extra operator application per iteration on
+    true-residual stopping."""
+
+    name = "symmlq"
+
+    def linear_system(self) -> str:
+        return "Augmented system (K2), SYMMLQ"
+
+    def _base_solve(self, state: KrylovState, xi_p, xi_d):
+        A, theta_reg, regD = state.A, state.theta_reg, state.regD
+        m, n = A.shape
+        rtol = self.rtol or _sqrt_eps(A.dtype)
+        maxiter = self.maxiter_factor * (m + n)
+
+        def K2_mv(w):
+            wx, wy = w[:n], w[n:]
+            top = -theta_reg * wx + A.T @ wy
+            bot = A @ wx + regD * wy
+            return jnp.concatenate([top, bot])
+
+        rhs = jnp.concatenate([xi_d, xi_p])
+        sol = symmlq(K2_mv, rhs, rtol, maxiter)
+        return sol[:n], sol[n:]
