@@ -102,3 +102,39 @@ ENDATA
     pb = parse_mps_lines(text.splitlines())
     assert pb.uvar[0] == -2.0
     assert pb.lvar[0] == -INF
+
+
+def test_write_read_roundtrip(tmp_path):
+    """write_mps -> read_mps preserves the problem exactly (objective,
+    bounds incl. range rows and free/fixed/negative bounds, constant,
+    max sense), across plain and compressed files."""
+    from tulip_tpu.io import read_mps, write_mps
+    from tulip_tpu.problem import INF, ProblemData
+
+    pb = ProblemData("RT")
+    pb.objsense = False                 # max problem
+    pb.obj0 = -2.5
+    pb.add_variable((), (), 1.0, 0.0, INF, "x1")        # default bounds
+    pb.add_variable((), (), -2.0, -INF, INF, "x2")      # free
+    pb.add_variable((), (), 0.5, 1.5, 1.5, "x3")        # fixed
+    pb.add_variable((), (), 0.0, -3.0, 4.0, "x4")       # two-sided
+    pb.add_variable((), (), 3.0, -INF, -1.0, "x5")      # MI + negative UP
+    pb.add_constraint([0, 1], [1.0, 2.0], 3.0, 3.0, "e1")       # E
+    pb.add_constraint([1, 2], [1.0, -1.0], -INF, 5.0, "l1")     # L
+    pb.add_constraint([2, 3], [2.0, 1.0], 1.0, INF, "g1")       # G
+    pb.add_constraint([0, 4], [1.0, 1.0], -1.0, 2.0, "rng1")    # range
+
+    for suffix in (".mps", ".mps.gz", ".mps.bz2"):
+        path = str(tmp_path / f"rt{suffix}")
+        write_mps(pb, path)
+        pb2 = read_mps(path)
+        assert pb2.objsense == pb.objsense
+        assert pb2.obj0 == pb.obj0
+        assert pb2.nvar == pb.nvar and pb2.ncon == pb.ncon
+        assert pb2.var_names == pb.var_names
+        assert pb2.con_names == pb.con_names
+        assert pb2.obj == pb.obj
+        assert pb2.lvar == pb.lvar and pb2.uvar == pb.uvar
+        assert pb2.lcon == pb.lcon and pb2.ucon == pb.ucon
+        for i in range(pb.ncon):
+            assert list(pb2.arows[i].items()) == list(pb.arows[i].items())

@@ -182,3 +182,104 @@ def parse_mps_lines(lines, name_hint: str = "") -> ProblemData:
                           lb, ub, rname)
 
     return pb
+
+
+def write_mps(pb: ProblemData, fname: str) -> None:
+    """Write a :class:`ProblemData` as free-format MPS (.mps, or
+    compressed when the name ends in .gz / .bz2).
+
+    No reference analogue (QPSReader only reads); provided so models
+    built programmatically can be exported/archived and round-tripped
+    through the reader. Row bounds map back to E/L/G + RANGES using the
+    same conventions the reader applies; the objective constant is
+    emitted as a negated RHS entry on the objective row.
+    """
+    lines = [f"NAME          {pb.name or 'TULIP_TPU'}"]
+    if not pb.objsense:
+        lines += ["OBJSENSE", "    MAX"]
+
+    def rname(i):
+        return pb.con_names[i] or f"R{i + 1}"
+
+    def cname(j):
+        return pb.var_names[j] or f"C{j + 1}"
+
+    # ROWS: classify each constraint.
+    lines.append("ROWS")
+    lines.append(" N  OBJ")
+    rtypes = []
+    for i in range(pb.ncon):
+        lo_, up_ = pb.lcon[i], pb.ucon[i]
+        if lo_ == up_:
+            t = "E"
+        elif lo_ == -INF and up_ < INF:
+            t = "L"
+        elif up_ == INF and lo_ > -INF:
+            t = "G"
+        elif lo_ == -INF and up_ == INF:
+            t = "N"            # free row (ignored non-objective N row)
+        else:
+            t = "L"            # range row, emitted as L + RANGES
+        rtypes.append(t)
+        lines.append(f" {t}  {rname(i)}")
+
+    lines.append("COLUMNS")
+    for j in range(pb.nvar):
+        if pb.obj[j] != 0.0:
+            lines.append(f"    {cname(j)}  OBJ  {pb.obj[j]!r}")
+        for i, v in pb.acols[j].items():
+            lines.append(f"    {cname(j)}  {rname(i)}  {v!r}")
+
+    lines.append("RHS")
+    if pb.obj0 != 0.0:
+        lines.append(f"    RHS  OBJ  {-pb.obj0!r}")
+    for i in range(pb.ncon):
+        lo_, up_ = pb.lcon[i], pb.ucon[i]
+        t = rtypes[i]
+        b = {"E": lo_, "L": up_, "G": lo_, "N": 0.0}[t]
+        if t != "N" and b != 0.0:
+            lines.append(f"    RHS  {rname(i)}  {b!r}")
+
+    range_lines = []
+    for i in range(pb.ncon):
+        lo_, up_ = pb.lcon[i], pb.ucon[i]
+        if rtypes[i] == "L" and lo_ > -INF and lo_ != up_:
+            range_lines.append(f"    RNG  {rname(i)}  {up_ - lo_!r}")
+    if range_lines:
+        lines.append("RANGES")
+        lines += range_lines
+
+    bound_lines = []
+    for j in range(pb.nvar):
+        lo_, up_ = pb.lvar[j], pb.uvar[j]
+        if lo_ == 0.0 and up_ == INF:
+            continue           # MPS default
+        if lo_ == up_:
+            bound_lines.append(f" FX BND  {cname(j)}  {lo_!r}")
+            continue
+        if lo_ == -INF and up_ == INF:
+            bound_lines.append(f" FR BND  {cname(j)}")
+            continue
+        if lo_ == -INF:
+            bound_lines.append(f" MI BND  {cname(j)}")
+        elif lo_ != 0.0:
+            bound_lines.append(f" LO BND  {cname(j)}  {lo_!r}")
+        if up_ < INF:
+            bound_lines.append(f" UP BND  {cname(j)}  {up_!r}")
+    if bound_lines:
+        lines.append("BOUNDS")
+        lines += bound_lines
+
+    lines.append("ENDATA")
+    text = "\n".join(lines) + "\n"
+    if fname.endswith(".gz"):
+        import gzip
+        with gzip.open(fname, "wt") as f:
+            f.write(text)
+    elif fname.endswith(".bz2"):
+        import bz2
+        with bz2.open(fname, "wt") as f:
+            f.write(text)
+    else:
+        with open(fname, "w") as f:
+            f.write(text)
