@@ -19,7 +19,7 @@ from __future__ import annotations
 import dataclasses
 import time
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
