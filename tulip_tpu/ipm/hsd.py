@@ -562,7 +562,7 @@ def hsd_solve(dat: LPData, backend, opts: HSDOptions,
         # Linear-solver introspection (reference: src/IPM/HSD/HSD.jl:214-230
         # via KKT.arithmetic/backend/linear_system, src/KKT/KKT.jl:103-121).
         print("Linear solver:")
-        print(f"  Arithmetic : {jnp.dtype(dat.c.dtype).name}")
+        print(f"  Arithmetic : {backend.arithmetic_label(dat.c.dtype)}")
         print(f"  Backend    : {backend.name}")
         print(f"  System     : {backend.linear_system()}")
         print(f"\n{'Itn':>4}  {'PObj':>14}  {'DObj':>14}  "

@@ -437,7 +437,7 @@ def mpc_solve(dat: LPData, backend, opts: MPCOptions, log_fn=None) -> HSDState:
         print(f"Constraints  : {dat.nrow}")
         print(f"Variables    : {dat.ncol}")
         print("Linear solver:")
-        print(f"  Arithmetic : {jnp.dtype(dat.c.dtype).name}")
+        print(f"  Arithmetic : {backend.arithmetic_label(dat.c.dtype)}")
         print(f"  Backend    : {backend.name}")
         print(f"  System     : {backend.linear_system()}")
         print(f"\n{'Itn':>4}  {'PObj':>14}  {'DObj':>14}  "

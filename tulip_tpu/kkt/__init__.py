@@ -34,6 +34,7 @@ from .banded import BandedK1Backend
 from .base import KKTBackend
 from .dense import DenseK1Backend
 from .dense_ldl import DenseK2Backend
+from .extended import ExtendedK1Backend
 from .krylov import (CgK1Backend, CrK1Backend, MinresK2Backend,
                      SqdMinresK2Backend, SymmlqK2Backend, TricgK2Backend)
 from .mixed import MixedK1Backend
@@ -50,6 +51,7 @@ def register(cls: Type[KKTBackend]) -> Type[KKTBackend]:
 
 
 for _cls in (BandedK1Backend, DenseK1Backend, DenseK2Backend,
+             ExtendedK1Backend,
              CgK1Backend, CrK1Backend,
              MinresK2Backend, SqdMinresK2Backend, SymmlqK2Backend,
              TricgK2Backend,
@@ -82,6 +84,7 @@ __all__ = [
     "BandedK1Backend",
     "DenseK1Backend",
     "DenseK2Backend",
+    "ExtendedK1Backend",
     "CgK1Backend",
     "CrK1Backend",
     "MinresK2Backend",

@@ -31,6 +31,12 @@ class KKTBackend:
     def arithmetic(self, state) -> str:
         return "unknown"
 
+    def arithmetic_label(self, dtype) -> str:
+        """Label for the solver-header log; backends that compute in a
+        different effective precision than the data dtype override this."""
+        import numpy as np
+        return np.dtype(dtype).name
+
     def linear_system(self) -> str:
         return self.systems[0] if self.systems else "unknown"
 
