@@ -286,3 +286,130 @@ def test_profile_dir_emits_trace(tmp_path):
                                                    ".trace.json.gz",
                                                    ".xplane.pb"))]
     assert traced, "no profiler artifacts written"
+
+
+def test_time_limit_status():
+    m = new_model(IPM_TimeLimit=0.0, Presolve_Level=0, OutputLevel=0)
+    pb = m.pbdata
+    x = pb.add_variable((), (), 1.0, 0.0, 1.0)
+    pb.add_constraint([x], [1.0], 0.5, 0.5)
+    assert m.optimize() == TerminationStatus.TIME_LIMIT
+
+
+def test_duplicate_terms_are_merged():
+    """Duplicate column indices in one constraint sum their coefficients
+    (MOI's ScalarAffineFunction canonicalization behavior)."""
+    m = new_model()
+    pb = m.pbdata
+    x = pb.add_variable((), (), 1.0, 0.0, INF)
+    ci = pb.add_constraint([x, x, x], [1.0, 2.0, -0.5], 5.0, 5.0)
+    assert pb.get_coefficient(ci, x) == 2.5
+    assert m.optimize() == OPT
+    assert abs(m.solution.x[0] - 2.0) < 1e-7
+
+
+def test_feasibility_only_problem():
+    """Zero objective: any feasible point is optimal, z = 0."""
+    m = new_model()
+    pb = m.pbdata
+    x = pb.add_variable((), (), 0.0, 0.0, INF)
+    y = pb.add_variable((), (), 0.0, 0.0, INF)
+    pb.add_constraint([x, y], [1.0, 1.0], 2.0, 2.0)
+    assert m.optimize() == OPT
+    assert abs(tlp.get_attribute(m, "ObjectiveValue")) < 1e-9
+    assert abs(m.solution.x[0] + m.solution.x[1] - 2.0) < 1e-6
+
+
+def test_max_sense_unbounded_ray():
+    m = new_model()
+    pb = m.pbdata
+    pb.objsense = False                      # maximize
+    pb.add_variable((), (), 1.0, 0.0, INF)   # max x, x >= 0
+    assert m.optimize() == TerminationStatus.DUAL_INFEASIBLE
+    assert m.solution.is_primal_ray
+    assert m.solution.x[0] > 0
+
+
+def test_objective_sense_attribute_roundtrip():
+    m = new_model()
+    pb = m.pbdata
+    pb.add_variable((), (), 1.0, -2.0, 3.0)
+    tlp.set_attribute(m, "ObjectiveSense", "max")
+    assert tlp.get_attribute(m, "ObjectiveSense") == "max"
+    assert m.optimize() == OPT
+    assert abs(tlp.get_attribute(m, "ObjectiveValue") - 3.0) < 1e-8
+    tlp.set_attribute(m, "ObjectiveSense", "min")
+    assert m.optimize() == OPT
+    assert abs(tlp.get_attribute(m, "ObjectiveValue") + 2.0) < 1e-8
+
+
+def test_resolve_is_idempotent():
+    m = new_model()
+    pb = m.pbdata
+    x = pb.add_variable((), (), 1.0, 0.0, 2.0)
+    pb.add_constraint([x], [1.0], 1.0, 2.0)
+    assert m.optimize() == OPT
+    z1 = tlp.get_attribute(m, "ObjectiveValue")
+    x1 = np.array(m.solution.x)
+    assert m.optimize() == OPT
+    assert tlp.get_attribute(m, "ObjectiveValue") == pytest.approx(z1, abs=1e-12)
+    np.testing.assert_allclose(m.solution.x, x1, atol=1e-10)
+
+
+def test_delete_variables_plural_index_shift():
+    m = new_model()
+    pb = m.pbdata
+    xs = [pb.add_variable((), (), float(j + 1), 0.0, 1.0, f"v{j}")
+          for j in range(5)]
+    pb.add_constraint(xs, [1.0] * 5, 2.0, INF)
+    pb.delete_variables([xs[0], xs[2]])       # drop cost-1 and cost-3 vars
+    assert tlp.get_attribute(m, "NumberOfVariables") == 3
+    assert [tlp.get_attribute(m, "VariableName", index=j)
+            for j in range(3)] == ["v1", "v3", "v4"]
+    assert m.optimize() == OPT
+    # Remaining costs (2, 4, 5): fill the cheapest two -> 2*1 + 4*1 = 6.
+    assert abs(tlp.get_attribute(m, "ObjectiveValue") - 6.0) < 1e-7
+
+
+def test_silent_mode_no_stdout(capsys):
+    m = new_model(OutputLevel=0)
+    pb = m.pbdata
+    x = pb.add_variable((), (), 1.0, 0.0, 1.0)
+    pb.add_constraint([x], [1.0], 0.5, 0.5)
+    assert m.optimize() == OPT
+    assert capsys.readouterr().out == ""
+
+
+def test_constraint_primal_Ax():
+    m = new_model()
+    pb = m.pbdata
+    x = pb.add_variable((), (), -1.0, 0.0, 2.0)
+    y = pb.add_variable((), (), -1.0, 0.0, 2.0)
+    pb.add_constraint([x, y], [1.0, 2.0], -INF, 4.0)
+    assert m.optimize() == OPT
+    Ax = float(m.solution.Ax[0])
+    assert abs(Ax - (m.solution.x[0] + 2 * m.solution.x[1])) < 1e-8
+    assert Ax <= 4.0 + 1e-7
+
+
+def test_strong_duality_with_ranges():
+    """Primal and dual objectives agree on an LP mixing range rows, bounds
+    and free variables (the DualObjectiveValue formula's hard case)."""
+    rng = np.random.default_rng(7)
+    m = new_model()
+    pb = m.pbdata
+    n = 6
+    cols = [pb.add_variable((), (), float(c), lb, ub, f"x{j}")
+            for j, (c, lb, ub) in enumerate(zip(
+                rng.standard_normal(n),
+                [-INF, 0.0, -1.0, 0.0, -INF, -2.0],
+                [INF, 2.0, 1.0, INF, 3.0, 2.0]))]
+    A = rng.standard_normal((4, n))
+    pb.add_constraint(cols, list(A[0]), 0.0, 1.0)     # range
+    pb.add_constraint(cols, list(A[1]), -1.0, -1.0)   # equality
+    pb.add_constraint(cols, list(A[2]), -INF, 2.0)    # <=
+    pb.add_constraint(cols, list(A[3]), 0.5, INF)     # >=
+    assert m.optimize() == OPT
+    z = tlp.get_attribute(m, "ObjectiveValue")
+    zd = tlp.get_attribute(m, "DualObjectiveValue")
+    assert abs(z - zd) < 1e-6 * max(1.0, abs(z))
