@@ -117,8 +117,17 @@ class Model:
                 # sweep for f32 accuracy.
                 backend_name = "pallas-small"
                 refinement = max(refinement, 1)
-        backend = make_backend(backend_name, params.KKT.System, refinement)
         ipm_opts = params.IPM.resolved(dtype)
+        if backend_name is None and params.KKT.System in (None, "K1") \
+                and dtype == np.float64 \
+                and min(ipm_opts.TolerancePFeas, ipm_opts.ToleranceDFeas,
+                        ipm_opts.ToleranceRGap,
+                        ipm_opts.ToleranceIFeas) < 1e-9:
+            # Tolerances beyond f64's sqrt(eps): plain f64 solves lose all
+            # forward accuracy once cond(K) ~ 1/eps near convergence; use
+            # double-double-residual refinement.
+            backend_name = "extended"
+        backend = make_backend(backend_name, params.KKT.System, refinement)
 
         import contextlib
         profile_ctx = contextlib.nullcontext()
