@@ -37,10 +37,18 @@ from .base import KKTBackend
 from .dense import DenseK1Backend, DenseK1State
 
 
-def rcm_bandwidth(A: np.ndarray) -> Tuple[np.ndarray, int]:
+def rcm_bandwidth(A: np.ndarray, use_native: bool = True,
+                  ) -> Tuple[np.ndarray, int]:
     """Reverse Cuthill-McKee ordering of the K = A Aᵀ pattern.
 
-    Returns (perm, bandwidth of P K Pᵀ)."""
+    Returns (perm, bandwidth of P K Pᵀ). Prefers the native C++ engine
+    (native/symbolic.cpp via kkt/native.py); falls back to scipy."""
+    if use_native:
+        from .native import rcm_native
+        out = rcm_native(A)
+        if out is not None:
+            return out
+
     import scipy.sparse as sp
     from scipy.sparse.csgraph import reverse_cuthill_mckee
 

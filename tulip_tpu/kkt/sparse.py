@@ -39,9 +39,20 @@ from .base import KKTBackend
 from .dense import DenseK1Backend, DenseK1State
 
 
-def tile_plan(A_np: np.ndarray, block: int):
+def tile_plan(A_np: np.ndarray, block: int, use_native: bool = True):
     """Host symbolic phase. Returns None if tiling gives no advantage,
-    else a dict with the permutation and the padded static schedule."""
+    else a dict with the permutation and the padded static schedule.
+
+    Prefers the native C++ engine (native/symbolic.cpp — adjacency, RCM,
+    tile-granular elimination and schedule emission in one call); the
+    pure-Python/scipy implementation below is the reference semantics and
+    the fallback."""
+    if use_native:
+        from .native import tile_plan_native
+        plan = tile_plan_native(A_np, block)
+        if plan != "unavailable":
+            return plan
+
     import scipy.sparse as sp
     from scipy.sparse.csgraph import reverse_cuthill_mckee
 
