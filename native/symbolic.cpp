@@ -12,12 +12,13 @@
 //      (tulip_tpu/kkt/sparse.py documents the schedule format).
 //
 // Exposed as a plain C ABI consumed via ctypes (tulip_tpu/kkt/native.py).
-// All index arrays are int32, matching the Python side.
+// All index arrays are int32, matching the Python side. The plan API is a
+// handle protocol (new / emit / free) so the analysis runs exactly once.
 
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
-#include <queue>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -58,28 +59,31 @@ void build_k_adjacency(int32_t m, int32_t n, const int32_t* indptr,
     }
 }
 
-// BFS level structure from `start` over unvisited nodes of one component;
-// returns nodes in BFS order and writes the index of the last level's start.
-void bfs_levels(const std::vector<std::vector<int32_t>>& adj, int32_t start,
-                std::vector<int32_t>& order, int32_t& last_level_begin,
-                std::vector<int32_t>& scratch_seen, int32_t stamp) {
+// BFS over the unvisited component of `start`, marking nodes with `stamp`.
+// Fills `order` with the component's nodes in BFS order and `depth` with
+// each node's BFS level; returns the eccentricity (max depth).
+int32_t bfs_component(const std::vector<std::vector<int32_t>>& adj,
+                      int32_t start, std::vector<int32_t>& order,
+                      std::vector<int32_t>& depth,
+                      std::vector<int32_t>& scratch_seen, int32_t stamp) {
     order.clear();
+    depth.clear();
     order.push_back(start);
+    depth.push_back(0);
     scratch_seen[start] = stamp;
-    size_t frontier_begin = 0;
-    last_level_begin = 0;
-    while (frontier_begin < order.size()) {
-        size_t frontier_end = order.size();
-        for (size_t k = frontier_begin; k < frontier_end; ++k)
-            for (int32_t nb : adj[order[k]])
-                if (scratch_seen[nb] != stamp) {
-                    scratch_seen[nb] = stamp;
-                    order.push_back(nb);
-                }
-        if (order.size() > frontier_end)
-            last_level_begin = static_cast<int32_t>(frontier_end);
-        frontier_begin = frontier_end;
+    int32_t max_depth = 0;
+    for (size_t qi = 0; qi < order.size(); ++qi) {
+        int32_t u = order[qi];
+        int32_t du = depth[qi];
+        max_depth = std::max(max_depth, du);
+        for (int32_t nb : adj[u])
+            if (scratch_seen[nb] != stamp) {
+                scratch_seen[nb] = stamp;
+                order.push_back(nb);
+                depth.push_back(du + 1);
+            }
     }
+    return max_depth;
 }
 
 // Reverse Cuthill-McKee over all components. Writes perm (new -> old).
@@ -90,7 +94,7 @@ void rcm(const std::vector<std::vector<int32_t>>& adj, int32_t m,
         degree[i] = static_cast<int32_t>(adj[i].size());
 
     std::vector<int32_t> seen(m, -1);
-    std::vector<int32_t> levels;
+    std::vector<int32_t> comp, depth;
     std::vector<int32_t> out;
     out.reserve(m);
     std::vector<char> placed(m, 0);
@@ -99,60 +103,25 @@ void rcm(const std::vector<std::vector<int32_t>>& adj, int32_t m,
     for (int32_t root = 0; root < m; ++root) {
         if (placed[root]) continue;
         // George-Liu pseudo-peripheral node: start at this component's
-        // min-degree node, repeat BFS from a min-degree node of the last
-        // level while eccentricity grows.
+        // min-degree node, then repeat BFS from a min-degree node of the
+        // deepest level while the eccentricity keeps growing.
         int32_t start = root;
-        int32_t llb = 0;
-        bfs_levels(adj, start, levels, llb, seen, ++stamp);
-        // min-degree node of the component as the true start
-        for (int32_t v : levels)
+        bfs_component(adj, start, comp, depth, seen, ++stamp);
+        for (int32_t v : comp)
             if (degree[v] < degree[start]) start = v;
         int32_t ecc = -1;
         for (int iter = 0; iter < 16; ++iter) {
-            bfs_levels(adj, start, levels, llb, seen, ++stamp);
-            // count levels = eccentricity proxy: recompute via llb trick is
-            // not enough; track via a fresh BFS depth count.
-            // Depth: nodes in `levels` are BFS order; compute depth by a
-            // second pass.
-            // Cheap eccentricity: BFS depth.
-            // (We re-derive depth with a local BFS below.)
-            int32_t new_ecc = 0;
-            {
-                std::vector<int32_t> depth(levels.size(), 0);
-                // map old id -> position for this component
-                // small comps: linear scan ok; use stamp-marked map
-                // Simpler: re-BFS with depths.
-                std::vector<int32_t> dq;
-                dq.push_back(start);
-                seen[start] = ++stamp;
-                std::vector<int32_t> dd(1, 0);
-                size_t qi = 0;
-                int32_t maxd = 0;
-                std::vector<std::pair<int32_t, int32_t>> lastlvl;
-                while (qi < dq.size()) {
-                    int32_t u = dq[qi];
-                    int32_t du = dd[qi];
-                    ++qi;
-                    maxd = std::max(maxd, du);
-                    for (int32_t nb : adj[u])
-                        if (seen[nb] != stamp) {
-                            seen[nb] = stamp;
-                            dq.push_back(nb);
-                            dd.push_back(du + 1);
-                        }
+            int32_t new_ecc =
+                bfs_component(adj, start, comp, depth, seen, ++stamp);
+            if (new_ecc <= ecc) break;
+            ecc = new_ecc;
+            int32_t cand = start, cand_deg = INT32_MAX;
+            for (size_t k = 0; k < comp.size(); ++k)
+                if (depth[k] == new_ecc && degree[comp[k]] < cand_deg) {
+                    cand = comp[k];
+                    cand_deg = degree[comp[k]];
                 }
-                new_ecc = maxd;
-                // min-degree node at max depth
-                int32_t cand = start, cand_deg = INT32_MAX;
-                for (size_t k = 0; k < dq.size(); ++k)
-                    if (dd[k] == maxd && degree[dq[k]] < cand_deg) {
-                        cand = dq[k];
-                        cand_deg = degree[dq[k]];
-                    }
-                if (new_ecc <= ecc) break;
-                ecc = new_ecc;
-                start = cand;
-            }
+            start = cand;
         }
         // Cuthill-McKee BFS from `start`, neighbors by increasing degree.
         std::vector<int32_t> q;
@@ -180,37 +149,38 @@ void rcm(const std::vector<std::vector<int32_t>>& adj, int32_t m,
 }
 
 struct TilePlan {
+    int32_t m = 0;
     int32_t nbr = 0, ntiles = 0, cmax = 0, umax = 0, advantage = 0;
+    std::vector<int32_t> perm;                   // new -> old, length m
     std::vector<std::vector<int32_t>> col_rows;  // strictly-below block rows
 };
 
-void tile_symbolic(const std::vector<std::vector<int32_t>>& adj, int32_t m,
-                   const int32_t* perm, int32_t block, TilePlan& plan) {
+// Returns 0 on success, -2 if a schedule dimension overflows int32 (the
+// query-reported buffer sizes would be corrupted otherwise).
+int32_t tile_symbolic(const std::vector<std::vector<int32_t>>& adj, int32_t m,
+                      int32_t block, TilePlan& plan) {
     int32_t nbr = (m + block - 1) / block;
     plan.nbr = nbr;
     std::vector<int32_t> inv(m);
-    for (int32_t k = 0; k < m; ++k) inv[perm[k]] = k;
+    for (int32_t k = 0; k < m; ++k) inv[plan.perm[k]] = k;
 
-    // Tile-granular pattern of permuted K (strict lower triangle), from the
-    // adjacency plus the diagonal (diagonal is within-tile, ignored).
+    // Tile-granular pattern of permuted K (strict lower triangle): collect
+    // (block col, block row) pairs from the adjacency, then sort + unique.
     std::vector<std::vector<int32_t>> cols(nbr);
     {
-        std::vector<int32_t> mark(nbr, -1);
-        // stamp per column j: mark[i] == j means tile (i, j) recorded
+        std::vector<std::pair<int32_t, int32_t>> pairs;
         for (int32_t old_i = 0; old_i < m; ++old_i) {
             int32_t pi = inv[old_i] / block;
             for (int32_t old_j : adj[old_i]) {
                 int32_t pj = inv[old_j] / block;
-                int32_t hi = std::max(pi, pj), lo = std::min(pi, pj);
-                if (hi == lo) continue;
-                auto& c = cols[lo];
-                if (std::find(c.begin(), c.end(), hi) == c.end())
-                    c.push_back(hi);
+                if (pi != pj)
+                    pairs.emplace_back(std::min(pi, pj), std::max(pi, pj));
             }
         }
-        (void)mark;
+        std::sort(pairs.begin(), pairs.end());
+        pairs.erase(std::unique(pairs.begin(), pairs.end()), pairs.end());
+        for (const auto& [lo, hi] : pairs) cols[lo].push_back(hi);
     }
-    for (auto& c : cols) std::sort(c.begin(), c.end());
 
     // Right-looking symbolic elimination at tile granularity: eliminating
     // block column j connects every pair (a, b) of its below rows.
@@ -228,19 +198,21 @@ void tile_symbolic(const std::vector<std::vector<int32_t>>& adj, int32_t m,
     }
 
     int64_t ntiles_sub = 0;
-    int32_t cmax = 1, umax = 1;
+    int64_t cmax = 1, umax = 1;
     for (auto& c : cols) {
-        ntiles_sub += static_cast<int64_t>(c.size());
-        cmax = std::max<int32_t>(cmax, static_cast<int32_t>(c.size()));
-        int64_t u = static_cast<int64_t>(c.size()) * (c.size() + 1) / 2;
-        umax = std::max<int32_t>(umax, static_cast<int32_t>(u));
+        int64_t sz = static_cast<int64_t>(c.size());
+        ntiles_sub += sz;
+        cmax = std::max(cmax, sz);
+        umax = std::max(umax, sz * (sz + 1) / 2);
     }
+    if (umax > INT32_MAX || ntiles_sub + nbr > INT32_MAX) return -2;
     plan.ntiles = static_cast<int32_t>(ntiles_sub + nbr);
-    plan.cmax = cmax;
-    plan.umax = umax;
+    plan.cmax = static_cast<int32_t>(cmax);
+    plan.umax = static_cast<int32_t>(umax);
     int64_t dense_tiles = static_cast<int64_t>(nbr) * (nbr + 1) / 2;
     plan.advantage = (plan.ntiles < 0.5 * dense_tiles && nbr > 2) ? 1 : 0;
     plan.col_rows = std::move(cols);
+    return 0;
 }
 
 void emit_schedule(const TilePlan& plan, int32_t* col_ids,
@@ -311,31 +283,49 @@ int32_t tlp_rcm(int32_t m, int32_t n, const int32_t* indptr,
     return bw;
 }
 
-// Tile-granular symbolic factorization plan. Two-call protocol:
-//   query=1: fills out_sizes = [nbr, ntiles, cmax, umax, advantage] and
-//            perm (length m); schedule pointers may be null.
-//   query=0: also fills col_ids/col_blkrows (nbr*cmax) and u_a/u_b/u_tgt
-//            (nbr*umax), caller-allocated with the query-reported sizes.
-// Returns 0 on success.
-int32_t tlp_tile_plan(int32_t m, int32_t n, const int32_t* indptr,
-                      const int32_t* indices, int32_t block, int32_t query,
-                      int32_t* out_sizes, int32_t* perm, int32_t* col_ids,
-                      int32_t* col_blkrows, int32_t* u_a, int32_t* u_b,
-                      int32_t* u_tgt) {
-    if (m <= 0 || block <= 0) return -1;
+// Tile-granular symbolic factorization plan — handle protocol, so the
+// adjacency + RCM + symbolic elimination run exactly once per setup:
+//   tlp_tile_plan_new:  run the analysis; fill out_sizes = [nbr, ntiles,
+//                       cmax, umax, advantage]; return an opaque handle
+//                       (0 on bad input or int32 overflow of a dimension).
+//   tlp_tile_plan_emit: copy perm (length m) and the padded schedule
+//                       col_ids/col_blkrows (nbr*cmax) and u_a/u_b/u_tgt
+//                       (nbr*umax) into caller-allocated buffers.
+//   tlp_tile_plan_free: release the handle.
+void* tlp_tile_plan_new(int32_t m, int32_t n, const int32_t* indptr,
+                        const int32_t* indices, int32_t block,
+                        int32_t* out_sizes) {
+    if (m <= 0 || block <= 0) return nullptr;
+    auto plan = new TilePlan();
+    plan->m = m;
+    plan->perm.resize(m);
     std::vector<std::vector<int32_t>> adj;
     build_k_adjacency(m, n, indptr, indices, adj);
-    rcm(adj, m, perm);
-    TilePlan plan;
-    tile_symbolic(adj, m, perm, block, plan);
-    out_sizes[0] = plan.nbr;
-    out_sizes[1] = plan.ntiles;
-    out_sizes[2] = plan.cmax;
-    out_sizes[3] = plan.umax;
-    out_sizes[4] = plan.advantage;
-    if (query) return 0;
-    emit_schedule(plan, col_ids, col_blkrows, u_a, u_b, u_tgt);
+    rcm(adj, m, plan->perm.data());
+    if (tile_symbolic(adj, m, block, *plan) != 0) {
+        delete plan;
+        return nullptr;
+    }
+    out_sizes[0] = plan->nbr;
+    out_sizes[1] = plan->ntiles;
+    out_sizes[2] = plan->cmax;
+    out_sizes[3] = plan->umax;
+    out_sizes[4] = plan->advantage;
+    return plan;
+}
+
+int32_t tlp_tile_plan_emit(void* handle, int32_t* perm, int32_t* col_ids,
+                           int32_t* col_blkrows, int32_t* u_a, int32_t* u_b,
+                           int32_t* u_tgt) {
+    if (handle == nullptr) return -1;
+    const auto* plan = static_cast<const TilePlan*>(handle);
+    std::memcpy(perm, plan->perm.data(), sizeof(int32_t) * plan->m);
+    emit_schedule(*plan, col_ids, col_blkrows, u_a, u_b, u_tgt);
     return 0;
+}
+
+void tlp_tile_plan_free(void* handle) {
+    delete static_cast<TilePlan*>(handle);
 }
 
 }  // extern "C"

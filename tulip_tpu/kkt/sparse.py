@@ -48,9 +48,9 @@ def tile_plan(A_np: np.ndarray, block: int, use_native: bool = True):
     pure-Python/scipy implementation below is the reference semantics and
     the fallback."""
     if use_native:
-        from .native import tile_plan_native
+        from .native import UNAVAILABLE, tile_plan_native
         plan = tile_plan_native(A_np, block)
-        if plan != "unavailable":
+        if plan is not UNAVAILABLE:
             return plan
 
     import scipy.sparse as sp
