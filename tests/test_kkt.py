@@ -9,9 +9,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from tulip_tpu.kkt import (CgK1Backend, CrK1Backend, DenseK1Backend,
-                           DenseK2Backend,
-                           MinresK2Backend, PallasK1Backend,
+from tulip_tpu.kkt import (CarK1Backend, CgK1Backend, CrK1Backend,
+                           DenseK1Backend, DenseK2Backend,
+                           MinaresK2Backend, MinresK2Backend,
+                           MinresQlpK2Backend, PallasK1Backend,
                            PallasSmallK1Backend, SqdMinresK2Backend,
                            SymmlqK2Backend, TricgK2Backend, make_backend)
 from tulip_tpu.kkt.dense_ldl import ldl_nopivot
@@ -31,7 +32,10 @@ BACKENDS = [
     PallasK1Backend(),          # falls back to XLA path off-TPU
     CgK1Backend(),
     CrK1Backend(),
+    CarK1Backend(),
     MinresK2Backend(),
+    MinresQlpK2Backend(),
+    MinaresK2Backend(),
     TricgK2Backend(),
     SqdMinresK2Backend(),
     SymmlqK2Backend(),
@@ -360,3 +364,68 @@ def test_symmlq_matches_direct_solve():
     x = symmlq(lambda v: A @ v, b, 1e-12, 400)
     xd = np.linalg.solve(np.asarray(A), np.asarray(b))
     np.testing.assert_allclose(np.asarray(x), xd, rtol=1e-8, atol=1e-9)
+
+
+def test_minres_qlp_minimum_length_on_singular():
+    """MINRES-QLP's distinguishing property vs plain MINRES: on a singular
+    consistent symmetric system it converges to the minimum-length
+    solution (Choi, Paige & Saunders 2011)."""
+    from tulip_tpu.kkt.krylov import minres_qlp
+
+    rng = np.random.default_rng(7)
+    n, r = 30, 18
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    d = np.concatenate([rng.uniform(0.5, 5.0, r) * rng.choice([-1, 1], r),
+                        np.zeros(n - r)])
+    A = Q @ np.diag(d) @ Q.T
+    b = A @ rng.standard_normal(n)          # consistent RHS
+    x_min = np.linalg.lstsq(A, b, rcond=None)[0]
+    x = minres_qlp(lambda w: jnp.asarray(A) @ w, jnp.asarray(b), 1e-12, 400)
+    np.testing.assert_allclose(np.asarray(x), x_min, rtol=1e-8, atol=1e-10)
+
+
+def test_minres_qlp_matches_direct_solve_indefinite():
+    from tulip_tpu.kkt.krylov import minres_qlp
+
+    rng = np.random.default_rng(11)
+    n = 40
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    d = rng.uniform(0.5, 5.0, n) * rng.choice([-1, 1], n)
+    A = Q @ np.diag(d) @ Q.T
+    b = rng.standard_normal(n)
+    x = minres_qlp(lambda w: jnp.asarray(A) @ w, jnp.asarray(b), 1e-12, 400)
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, b),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_car_matches_direct_solve_spd():
+    from tulip_tpu.kkt.krylov import car
+
+    rng = np.random.default_rng(5)
+    n = 35
+    M = rng.standard_normal((n, n))
+    A = M @ M.T + n * np.eye(n)
+    b = rng.standard_normal(n)
+    x = car(lambda w: jnp.asarray(A) @ w, jnp.asarray(b), None, 1e-12, 400)
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, b),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_car_monotone_A_norm_residual():
+    """CAR's defining optimality: ||r_k||_A decreases monotonically."""
+    import jax
+
+    from tulip_tpu.kkt.krylov import car
+
+    rng = np.random.default_rng(9)
+    n = 25
+    M = rng.standard_normal((n, n))
+    A = M @ M.T + 0.5 * np.eye(n)
+    b = rng.standard_normal(n)
+    Aj = jnp.asarray(A)
+    norms = []
+    for k in range(1, 12):
+        x = np.asarray(car(lambda w: Aj @ w, jnp.asarray(b), None, 0.0, k))
+        r = b - A @ x
+        norms.append(float(r @ A @ r))
+    assert all(b2 <= a2 * (1 + 1e-10) for a2, b2 in zip(norms, norms[1:]))

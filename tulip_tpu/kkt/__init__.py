@@ -35,7 +35,8 @@ from .base import KKTBackend
 from .dense import DenseK1Backend
 from .dense_ldl import DenseK2Backend
 from .extended import ExtendedK1Backend
-from .krylov import (CgK1Backend, CrK1Backend, MinresK2Backend,
+from .krylov import (CarK1Backend, CgK1Backend, CrK1Backend,
+                     MinaresK2Backend, MinresK2Backend, MinresQlpK2Backend,
                      SqdMinresK2Backend, SymmlqK2Backend, TricgK2Backend)
 from .mixed import MixedK1Backend
 from .pallas_chol import PallasK1Backend, PallasSmallK1Backend
@@ -52,8 +53,9 @@ def register(cls: Type[KKTBackend]) -> Type[KKTBackend]:
 
 for _cls in (BandedK1Backend, DenseK1Backend, DenseK2Backend,
              ExtendedK1Backend,
-             CgK1Backend, CrK1Backend,
-             MinresK2Backend, SqdMinresK2Backend, SymmlqK2Backend,
+             CarK1Backend, CgK1Backend, CrK1Backend,
+             MinaresK2Backend, MinresK2Backend, MinresQlpK2Backend,
+             SqdMinresK2Backend, SymmlqK2Backend,
              TricgK2Backend,
              MixedK1Backend,
              PallasK1Backend, PallasSmallK1Backend, SchurK1Backend,
@@ -85,8 +87,11 @@ __all__ = [
     "DenseK1Backend",
     "DenseK2Backend",
     "ExtendedK1Backend",
+    "CarK1Backend",
     "CgK1Backend",
     "CrK1Backend",
+    "MinaresK2Backend",
+    "MinresQlpK2Backend",
     "MinresK2Backend",
     "SqdMinresK2Backend",
     "SymmlqK2Backend",

@@ -176,6 +176,219 @@ def cr(matvec: Callable, b: jnp.ndarray, precond: Callable, rtol,
     return out[0]
 
 
+def car(matvec: Callable, b: jnp.ndarray, precond: Callable, rtol,
+        maxiter: int) -> jnp.ndarray:
+    """CAR — conjugate A-residuals for SPD systems (the third member of the
+    reference's SPD family, reference: src/KKT/Krylov/defs.jl:1-5;
+    Montoison, Orban & Saunders 2023). Minimizes ``||r_k||_A`` over the
+    Krylov space, one operator application per iteration.
+
+    Orthomin-form recurrences with A³-conjugate directions: maintaining
+    q = Ar, u = Ap, w = A²p,
+
+        α = rᵀA²r / pᵀA³p = <q,q> / <u,w>,
+        x += αp,  r -= αu,  q -= αw,  s = Aq,
+        β = <q',q'> / <q,q>,
+        p = r + βp,  u = q + βu,  w = s + βw.
+
+    Preconditioning is symmetric-diagonal: callers pass the Jacobi-scaled
+    operator (precond here only shapes the initial q/s like in cr)."""
+    del precond  # symmetric scaling is applied by the caller
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    q0 = matvec(r0)
+    s0 = matvec(q0)
+    rho0 = jnp.dot(q0, q0)
+    bnorm = jnp.linalg.norm(b)
+    tol2 = (rtol * jnp.where(bnorm == 0, 1.0, bnorm)) ** 2
+
+    def cond(c):
+        x, r, q, p, u, w, rho, k = c
+        return (jnp.dot(r, r) > tol2) & (k < maxiter)
+
+    def body(c):
+        x, r, q, p, u, w, rho, k = c
+        denom = jnp.dot(u, w)
+        alpha = rho / jnp.where(denom == 0, 1.0, denom)
+        x = x + alpha * p
+        r = r - alpha * u
+        q = q - alpha * w
+        s = matvec(q)
+        rho_new = jnp.dot(q, q)
+        beta = rho_new / jnp.where(rho == 0, 1.0, rho)
+        p = r + beta * p
+        u = q + beta * u
+        w = s + beta * w
+        return x, r, q, p, u, w, rho_new, k + 1
+
+    out = jax.lax.while_loop(cond, body,
+                             (x0, r0, q0, r0, q0, s0, rho0,
+                              jnp.zeros((), jnp.int32)))
+    return out[0]
+
+
+def _sym_givens(a, b):
+    """Symmetric orthogonal reflection: returns (c, s, r) with
+    [c s; s -c][a; b] = [r; 0], r = hypot(a, b) >= 0."""
+    r = jnp.sqrt(a * a + b * b)
+    r_safe = jnp.where(r == 0, 1.0, r)
+    c = jnp.where(r == 0, 1.0, a / r_safe)
+    s = jnp.where(r == 0, 0.0, b / r_safe)
+    return c, s, r
+
+
+def minres_qlp(matvec: Callable, b: jnp.ndarray, rtol, maxiter: int,
+               ) -> jnp.ndarray:
+    """MINRES-QLP (Choi, Paige & Saunders, SIAM J. Sci. Comput. 2011) for
+    symmetric (possibly indefinite or singular) systems, as one
+    ``lax.while_loop``.
+
+    Beyond MINRES it applies a second, right-side sequence of reflections
+    (the QLP decomposition of the tridiagonal), which keeps the solution
+    update well-conditioned near (numerical) singularity and converges to
+    the minimum-length solution of singular consistent systems. This runs
+    the always-QLP variant (the MINRES-mode fast path of the reference
+    implementation is a speed optimization only)."""
+    dt = b.dtype
+    zero = jnp.zeros((), dt)
+    one = jnp.ones((), dt)
+
+    beta1 = jnp.linalg.norm(b)
+    beta1_safe = jnp.where(beta1 == 0, one, beta1)
+    tol = rtol * beta1_safe
+
+    n_x = jnp.zeros_like(b)
+    # carry layout — Lanczos: r1, r2 (scaled v's), beta, betan;
+    # left reflections: cs, sn, dltan, eplnn; right-rotated tridiagonal
+    # entries gama/gamal (provisional diagonals of rows k, k-1), eta/etal,
+    # vepln/veplnl; solution: tau/taul, phi, ul3/ul2/ul/u, xl2, wl, w; k.
+    # Both right reflections (P_{k-2,k} and P_{k-1,k}) are computed fresh
+    # every iteration — each W/L column receives four rotations in total
+    # (two at creation, one at each of the next two iterations), so row
+    # k-2 and W column k-2 finalize at iteration k.
+    carry0 = dict(
+        r1=jnp.zeros_like(b), r2=b, beta=zero, betan=beta1,
+        cs=-one, sn=zero, dltan=zero, eplnn=zero,
+        gama=zero, gamal=zero,
+        eta=zero, etal=zero, vepln=zero, veplnl=zero,
+        tau=zero, taul=zero, phi=beta1,
+        ul3=zero, ul2=zero, ul=zero, u=zero,
+        xl2=n_x, wl=jnp.zeros_like(b), w=jnp.zeros_like(b),
+        x=n_x, k=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(c):
+        return (c["phi"] > tol) & (c["k"] < maxiter)
+
+    def body(c):
+        k = c["k"] + 1
+        # -- Lanczos step (r1/r2 carry beta-scaled basis vectors) --
+        betal = c["beta"]
+        beta = c["betan"]
+        beta_safe = jnp.where(beta == 0, one, beta)
+        v = c["r2"] / beta_safe
+        r3 = matvec(v)
+        r3 = jnp.where(k > 1, r3 - (beta / jnp.where(betal == 0, one, betal))
+                       * c["r1"], r3)
+        alfa = jnp.dot(v, r3)
+        r3 = r3 - (alfa / beta_safe) * c["r2"]
+        betan = jnp.linalg.norm(r3)
+
+        # -- previous left reflection Q_{k-1} --
+        dbar = c["dltan"]
+        dlta = c["cs"] * dbar + c["sn"] * alfa
+        epln = c["eplnn"]
+        gbar = c["sn"] * dbar - c["cs"] * alfa
+        eplnn = c["sn"] * betan
+        dltan = -c["cs"] * betan
+        # -- current left reflection Q_k --
+        gamal2 = c["gamal"]
+        gamal = c["gama"]
+        cs, sn, gama = _sym_givens(gbar, betan)
+        taul2 = c["taul"]
+        taul = c["tau"]
+        tau = cs * c["phi"]
+        phi = sn * c["phi"]
+
+        # -- first right reflection P_{k-2,k}: zeros the (k-2, k) entry
+        # epln against the provisional row-(k-2) diagonal, finalizing it --
+        k_gt2 = k > 2
+        etal2 = c["etal"]          # final eta_{k-2} (set at iteration k-2)
+        veplnl2 = c["veplnl"]      # final nu_{k-2}  (set at iteration k-1)
+        cr2_n, sr2_n, gamal2_rot = _sym_givens(gamal2, epln)
+        cr2 = jnp.where(k_gt2, cr2_n, -one)
+        sr2 = jnp.where(k_gt2, sr2_n, zero)
+        gamal2 = jnp.where(k_gt2, gamal2_rot, gamal2)
+        veplnl = jnp.where(k_gt2, cr2 * c["vepln"] + sr2 * dlta,
+                           c["veplnl"])
+        dlta = jnp.where(k_gt2, sr2 * c["vepln"] - cr2 * dlta, dlta)
+        etal = jnp.where(k_gt2, c["eta"], c["etal"])
+        eta = jnp.where(k_gt2, sr2 * gama, zero)
+        gama = jnp.where(k_gt2, -cr2 * gama, gama)
+        # -- second right reflection P_{k-1,k}: zeros the rotated (k-1, k)
+        # entry against the provisional row-(k-1) diagonal --
+        k_gt1 = k > 1
+        cr1_n, sr1_n, gamal_rot = _sym_givens(gamal, dlta)
+        cr1 = jnp.where(k_gt1, cr1_n, -one)
+        sr1 = jnp.where(k_gt1, sr1_n, zero)
+        gamal = jnp.where(k_gt1, gamal_rot, gamal)
+        vepln = jnp.where(k_gt1, sr1 * gama, c["vepln"])
+        gama = jnp.where(k_gt1, -cr1 * gama, gama)
+
+        # -- solution coefficients (forward substitution through L) --
+        # Row k-2 is final this iteration; rows k-1 and k stay provisional.
+        ul4 = c["ul3"]
+        ul3 = c["ul2"]
+        ul2 = jnp.where(
+            k_gt2,
+            (taul2 - etal2 * ul4 - veplnl2 * ul3)
+            / jnp.where(gamal2 == 0, one, gamal2),
+            c["ul2"])
+        ul = jnp.where(
+            k_gt1,
+            (taul - etal * ul3 - veplnl * ul2)
+            / jnp.where(gamal == 0, one, gamal),
+            c["ul"])
+        gama_safe = jnp.where(gama == 0, one, gama)
+        u = jnp.where(jnp.abs(gama) > 0,
+                      (tau - eta * ul2 - vepln * ul) / gama_safe, zero)
+
+        # -- QLP direction vectors and iterate --
+        wl2 = c["wl"]
+        wl_1 = v * sr1                       # k == 1
+        w_1 = -v * cr1
+        wl_2 = c["w"] * cr1 + v * sr1        # k == 2
+        w_2 = c["w"] * sr1 - v * cr1
+        # k >= 3
+        wl_3a = c["w"]
+        w_3a = wl2 * sr2 - v * cr2
+        wl2_3 = wl2 * cr2 + v * sr2
+        v_3 = wl_3a * cr1 + w_3a * sr1
+        w_3 = wl_3a * sr1 - w_3a * cr1
+        wl_3 = v_3
+
+        wl2_out = jnp.where(k_gt2, wl2_3, wl2)
+        wl_out = jnp.where(k == 1, wl_1, jnp.where(k == 2, wl_2, wl_3))
+        w_out = jnp.where(k == 1, w_1, jnp.where(k == 2, w_2, w_3))
+
+        xl2 = c["xl2"] + wl2_out * ul2
+        x = xl2 + wl_out * ul + w_out * u
+
+        return dict(
+            r1=c["r2"], r2=r3, beta=beta, betan=betan,
+            cs=cs, sn=sn, dltan=dltan, eplnn=eplnn,
+            gama=gama, gamal=gamal,
+            eta=eta, etal=etal, vepln=vepln, veplnl=veplnl,
+            tau=tau, taul=taul, phi=phi,
+            ul3=ul3, ul2=ul2, ul=ul, u=u,
+            xl2=xl2, wl=wl_out, w=w_out,
+            x=x, k=k,
+        )
+
+    out = jax.lax.while_loop(cond, body, carry0)
+    return out["x"]
+
+
 def symmlq(matvec: Callable, b: jnp.ndarray, rtol, maxiter: int,
            ) -> jnp.ndarray:
     """SYMMLQ (Paige & Saunders 1975) for symmetric (possibly indefinite)
@@ -570,4 +783,102 @@ class SymmlqK2Backend(MinresK2Backend):
 
         rhs = jnp.concatenate([xi_d, xi_p])
         sol = symmlq(K2_mv, rhs, rtol, maxiter)
+        return sol[:n], sol[n:]
+
+
+@dataclasses.dataclass(frozen=True)
+class CarK1Backend(CgK1Backend):
+    """CAR on the K1 normal equations (reference SPD family:
+    src/KKT/Krylov/defs.jl:1-5). Minimizes the K-norm of the residual;
+    Jacobi preconditioning applied as a symmetric diagonal scaling so the
+    scaled operator stays SPD."""
+
+    name = "car"
+
+    def linear_system(self) -> str:
+        return "Normal equations (K1), CAR"
+
+    def _base_solve(self, state: KrylovState, xi_p, xi_d):
+        A, d, regD = state.A, state.d, state.regD
+        rtol = self.rtol or _sqrt_eps(A.dtype)
+        maxiter = self.maxiter_factor * A.shape[0]
+
+        # Symmetric Jacobi scaling: solve S K S (S⁻¹dy) = S rhs with
+        # S = diag(K)^(-1/2), keeping the operator SPD for CAR.
+        Kdiag = (A * A) @ d + regD
+        s = 1.0 / jnp.sqrt(Kdiag)
+
+        def K_mv(w):
+            return s * (A @ (d * (A.T @ (s * w)))) + s * regD * (s * w)
+
+        rhs = s * (xi_p + A @ (d * xi_d))
+        dy = s * car(K_mv, rhs, None, rtol, maxiter)
+        dx = d * (A.T @ dy - xi_d)
+        return dx, dy
+
+
+@dataclasses.dataclass(frozen=True)
+class MinresQlpK2Backend(MinresK2Backend):
+    """MINRES-QLP on the augmented system (reference SID family:
+    src/KKT/Krylov/defs.jl:9-17). Extra right-side QLP reflections keep
+    the iterate update well-conditioned when the (regularized) system
+    approaches numerical singularity near IPM convergence, and yield the
+    minimum-length solution on singular consistent systems."""
+
+    name = "minres-qlp"
+
+    def linear_system(self) -> str:
+        return "Augmented system (K2), MINRES-QLP"
+
+    def _base_solve(self, state: KrylovState, xi_p, xi_d):
+        A, theta_reg, regD = state.A, state.theta_reg, state.regD
+        m, n = A.shape
+        rtol = self.rtol or _sqrt_eps(A.dtype)
+        maxiter = self.maxiter_factor * (m + n)
+
+        def K2_mv(w):
+            wx, wy = w[:n], w[n:]
+            top = -theta_reg * wx + A.T @ wy
+            bot = A @ wx + regD * wy
+            return jnp.concatenate([top, bot])
+
+        rhs = jnp.concatenate([xi_d, xi_p])
+        sol = minres_qlp(K2_mv, rhs, rtol, maxiter)
+        return sol[:n], sol[n:]
+
+
+@dataclasses.dataclass(frozen=True)
+class MinaresK2Backend(MinresK2Backend):
+    """‖Ar‖-minimizing method on the augmented system (the MINARES role of
+    the reference SID family, src/KKT/Krylov/defs.jl:9-17; Montoison,
+    Orban & Saunders 2023). Implemented as conjugate residuals on the
+    squared operator — K² is SPD for symmetric nonsingular K, and the CR
+    residual of K²x = Kb is exactly K r, so the iterates minimize ‖K r‖
+    over x ∈ K_k(K², Kb) (a subspace of the K_2k(K, b) the eponymous
+    algorithm uses; same optimality criterion, two operator applications
+    per iteration). Useful when the residual of the *normal* system is the
+    quantity being driven down, e.g. noisy RHS near convergence."""
+
+    name = "minares"
+
+    def linear_system(self) -> str:
+        return "Augmented system (K2), MINARES (CR on K²)"
+
+    def _base_solve(self, state: KrylovState, xi_p, xi_d):
+        A, theta_reg, regD = state.A, state.theta_reg, state.regD
+        m, n = A.shape
+        rtol = self.rtol or _sqrt_eps(A.dtype)
+        maxiter = self.maxiter_factor * (m + n)
+
+        def K2_mv(w):
+            wx, wy = w[:n], w[n:]
+            top = -theta_reg * wx + A.T @ wy
+            bot = A @ wx + regD * wy
+            return jnp.concatenate([top, bot])
+
+        def K2sq_mv(w):
+            return K2_mv(K2_mv(w))
+
+        rhs = jnp.concatenate([xi_d, xi_p])
+        sol = cr(K2sq_mv, K2_mv(rhs), lambda r: r, rtol, maxiter)
         return sol[:n], sol[n:]
