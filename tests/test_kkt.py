@@ -11,6 +11,7 @@ import pytest
 
 from tulip_tpu.kkt import (CarK1Backend, CgK1Backend, CrK1Backend,
                            DenseK1Backend, DenseK2Backend,
+                           LsmrK1Backend, LsqrK1Backend,
                            MinaresK2Backend, MinresK2Backend,
                            MinresQlpK2Backend, PallasK1Backend,
                            PallasSmallK1Backend, SqdMinresK2Backend,
@@ -33,6 +34,8 @@ BACKENDS = [
     CgK1Backend(),
     CrK1Backend(),
     CarK1Backend(),
+    LsqrK1Backend(),
+    LsmrK1Backend(),
     MinresK2Backend(),
     MinresQlpK2Backend(),
     MinaresK2Backend(),
@@ -429,3 +432,50 @@ def test_car_monotone_A_norm_residual():
         r = b - A @ x
         norms.append(float(r @ A @ r))
     assert all(b2 <= a2 * (1 + 1e-10) for a2, b2 in zip(norms, norms[1:]))
+
+
+def test_lsqr_lsmr_match_lstsq():
+    """Golub-Kahan LS solvers match numpy's lstsq on tall systems."""
+    from tulip_tpu.kkt.krylov import lsmr, lsqr
+
+    rng = np.random.default_rng(13)
+    mm, nn = 40, 15
+    A = rng.standard_normal((mm, nn))
+    b = rng.standard_normal(mm)
+    x_ref = np.linalg.lstsq(A, b, rcond=None)[0]
+    Aj = jnp.asarray(A)
+    for fn in (lsqr, lsmr):
+        x = fn(lambda v: Aj @ v, lambda u: Aj.T @ u, jnp.asarray(b), nn,
+               1e-13, 2000)
+        np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-10,
+                                   atol=1e-12)
+
+
+def test_lsqr_backend_never_forms_normal_matrix():
+    """The damped-LS backends solve the K1 system to the same answer as the
+    dense direct backend on an ill-conditioned Theta (the regime the LS
+    formulation is built for: kappa(Abar) = sqrt(kappa(K1)))."""
+    rng = np.random.default_rng(17)
+    m, n = 10, 25
+    A = jnp.asarray(rng.standard_normal((m, n)))
+    theta_inv = jnp.asarray(10.0 ** rng.uniform(-6, 6, n))
+    regP = jnp.full(n, 1e-8)
+    regD = jnp.full(m, 1e-8)
+    xi_p = jnp.asarray(rng.standard_normal(m))
+    xi_d = jnp.asarray(rng.standard_normal(n))
+
+    ref = DenseK1Backend(refinement_steps=2)
+    st = ref.setup(A)
+    st, _ = ref.update(st, theta_inv, regP, regD)
+    dx_ref, dy_ref = ref.solve(st, xi_p, xi_d)
+
+    for backend in (LsqrK1Backend(refinement_steps=1),
+                    LsmrK1Backend(refinement_steps=1)):
+        st = backend.setup(A)
+        st, ok = backend.update(st, theta_inv, regP, regD)
+        assert bool(ok)
+        dx, dy = backend.solve(st, xi_p, xi_d)
+        np.testing.assert_allclose(np.asarray(dy), np.asarray(dy_ref),
+                                   rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                                   rtol=1e-6, atol=1e-8)

@@ -35,7 +35,8 @@ from .base import KKTBackend
 from .dense import DenseK1Backend
 from .dense_ldl import DenseK2Backend
 from .extended import ExtendedK1Backend
-from .krylov import (CarK1Backend, CgK1Backend, CrK1Backend,
+from .krylov import (CarK1Backend, CgK1Backend, CrK1Backend, LsmrK1Backend,
+                     LsqrK1Backend,
                      MinaresK2Backend, MinresK2Backend, MinresQlpK2Backend,
                      SqdMinresK2Backend, SymmlqK2Backend, TricgK2Backend)
 from .mixed import MixedK1Backend
@@ -54,6 +55,7 @@ def register(cls: Type[KKTBackend]) -> Type[KKTBackend]:
 for _cls in (BandedK1Backend, DenseK1Backend, DenseK2Backend,
              ExtendedK1Backend,
              CarK1Backend, CgK1Backend, CrK1Backend,
+             LsmrK1Backend, LsqrK1Backend,
              MinaresK2Backend, MinresK2Backend, MinresQlpK2Backend,
              SqdMinresK2Backend, SymmlqK2Backend,
              TricgK2Backend,
@@ -90,6 +92,8 @@ __all__ = [
     "CarK1Backend",
     "CgK1Backend",
     "CrK1Backend",
+    "LsmrK1Backend",
+    "LsqrK1Backend",
     "MinaresK2Backend",
     "MinresQlpK2Backend",
     "MinresK2Backend",

@@ -882,3 +882,209 @@ class MinaresK2Backend(MinresK2Backend):
         rhs = jnp.concatenate([xi_d, xi_p])
         sol = cr(K2sq_mv, K2_mv(rhs), lambda r: r, rtol, maxiter)
         return sol[:n], sol[n:]
+
+
+def lsqr(matvec: Callable, rmatvec: Callable, b: jnp.ndarray, n: int,
+         rtol, maxiter: int) -> jnp.ndarray:
+    """LSQR (Paige & Saunders 1982): Golub-Kahan bidiagonalization solve of
+    ``min ||A x - b||`` as one ``lax.while_loop``. Stops on the
+    least-squares optimality estimate ``||A'r|| <= rtol * ||A'b||``."""
+    dt = b.dtype
+    one = jnp.ones((), dt)
+
+    def safe(v):
+        return jnp.where(v == 0, one, v)
+
+    u = b
+    beta = jnp.linalg.norm(u)
+    u = u / safe(beta)
+    v = rmatvec(u)
+    alfa = jnp.linalg.norm(v)
+    v = v / safe(alfa)
+    x0 = jnp.zeros(n, dt)
+    # ||A'b|| = alfa * beta
+    tol = rtol * safe(alfa * beta)
+
+    # carry: x, u, v, w, alfa, phibar, rhobar, k, atrnorm
+    carry0 = (x0, u, v, v, alfa, beta, alfa, jnp.zeros((), jnp.int32),
+              alfa * beta)
+
+    def cond(c):
+        *_, k, atr = c
+        return (atr > tol) & (k < maxiter)
+
+    def body(c):
+        x, u, v, w, alfa, phibar, rhobar, k, _ = c
+        u = matvec(v) - alfa * u
+        beta = jnp.linalg.norm(u)
+        u = u / safe(beta)
+        v_new = rmatvec(u) - beta * v
+        alfa_new = jnp.linalg.norm(v_new)
+        v_new = v_new / safe(alfa_new)
+
+        rho = jnp.sqrt(rhobar * rhobar + beta * beta)
+        cs = rhobar / safe(rho)
+        sn = beta / safe(rho)
+        theta = sn * alfa_new
+        rhobar_new = -cs * alfa_new
+        phi = cs * phibar
+        phibar_new = sn * phibar
+
+        x = x + (phi / safe(rho)) * w
+        w = v_new - (theta / safe(rho)) * w
+        # ||A'r_k|| = phibar_{k+1} * alfa_{k+1} * |c_k| (Paige & Saunders
+        # 1982, eq. 5.2).
+        atrnorm = phibar_new * alfa_new * jnp.abs(cs)
+        return (x, u, v_new, w, alfa_new, phibar_new, rhobar_new, k + 1,
+                atrnorm)
+
+    out = jax.lax.while_loop(cond, body, carry0)
+    return out[0]
+
+
+def lsmr(matvec: Callable, rmatvec: Callable, b: jnp.ndarray, n: int,
+         rtol, maxiter: int) -> jnp.ndarray:
+    """LSMR (Fong & Saunders 2011): MINRES applied to the normal equations
+    through Golub-Kahan bidiagonalization; ``||A'r_k||`` decreases
+    monotonically and is tracked exactly by ``zetabar``."""
+    dt = b.dtype
+    one = jnp.ones((), dt)
+
+    def safe(v):
+        return jnp.where(v == 0, one, v)
+
+    u = b
+    beta = jnp.linalg.norm(u)
+    u = u / safe(beta)
+    v = rmatvec(u)
+    alfa = jnp.linalg.norm(v)
+    v = v / safe(alfa)
+
+    zetabar = alfa * beta
+    alfabar = alfa
+    rho = one
+    rhobar = one
+    cbar = one
+    sbar = jnp.zeros((), dt)
+    h = v
+    hbar = jnp.zeros(n, dt)
+    x0 = jnp.zeros(n, dt)
+    tol = rtol * safe(zetabar)   # ||A'b||
+
+    carry0 = (x0, u, v, h, hbar, alfa, alfabar, rho, rhobar, cbar, sbar,
+              zetabar, jnp.zeros((), jnp.int32), jnp.abs(zetabar))
+
+    def cond(c):
+        *_, k, atr = c
+        return (atr > tol) & (k < maxiter)
+
+    def body(c):
+        (x, u, v, h, hbar, alfa, alfabar, rho, rhobar, cbar, sbar, zetabar,
+         k, _) = c
+        u = matvec(v) - alfa * u
+        beta = jnp.linalg.norm(u)
+        u = u / safe(beta)
+        v_new = rmatvec(u) - beta * v
+        alfa_new = jnp.linalg.norm(v_new)
+        v_new = v_new / safe(alfa_new)
+
+        # First rotation (as in LSQR).
+        rho_new = jnp.sqrt(alfabar * alfabar + beta * beta)
+        c1 = alfabar / safe(rho_new)
+        s1 = beta / safe(rho_new)
+        theta_new = s1 * alfa_new
+        alfabar_new = c1 * alfa_new
+
+        # Second rotation (the MINRES part).
+        thetabar = sbar * rho_new
+        rhotemp = cbar * rho_new
+        rhobar_new = jnp.sqrt(rhotemp * rhotemp + theta_new * theta_new)
+        cbar_new = rhotemp / safe(rhobar_new)
+        sbar_new = theta_new / safe(rhobar_new)
+        zeta = cbar_new * zetabar
+        zetabar_new = -sbar_new * zetabar
+
+        hbar = h - (thetabar * rho_new / safe(rho * rhobar)) * hbar
+        x = x + (zeta / safe(rho_new * rhobar_new)) * hbar
+        h = v_new - (theta_new / safe(rho_new)) * h
+
+        return (x, u, v_new, h, hbar, alfa_new, alfabar_new, rho_new,
+                rhobar_new, cbar_new, sbar_new, zetabar_new, k + 1,
+                jnp.abs(zetabar_new))
+
+    out = jax.lax.while_loop(cond, body, carry0)
+    return out[0]
+
+
+@dataclasses.dataclass(frozen=True)
+class LsqrK1Backend(KKTBackend):
+    """LSQR on the damped least-squares formulation of K1 (the reference's
+    LS family, reference: src/KKT/Krylov/defs.jl:25-29 — defined there but
+    unwired; implemented here as a working backend). The normal equations
+    ``(A E⁻¹ Aᵀ + F) dy = ξp + A E⁻¹ ξd`` with E = Θ⁻¹+Rp, F = Rd are the
+    optimality conditions of
+
+        min_dy || [E^(-1/2) Aᵀ; F^(1/2)] dy - [E^(-1/2) ξd; F^(-1/2) ξp] ||
+
+    which LSQR solves via Golub-Kahan bidiagonalization — never forming
+    A E⁻¹ Aᵀ and with better conditioning (κ(Ā) = √κ(K1))."""
+
+    name = "lsqr"
+    systems = ("K1",)
+    rtol: float = 0.0
+    maxiter_factor: int = 10
+
+    def arithmetic(self, state) -> str:
+        return str(state.A.dtype)
+
+    def linear_system(self) -> str:
+        return "Normal equations (K1), LSQR on the damped LS form"
+
+    def setup(self, A: jnp.ndarray) -> KrylovState:
+        m, n = A.shape
+        dt = A.dtype
+        return KrylovState(A=A, d=jnp.ones(n, dt), theta_reg=jnp.ones(n, dt),
+                           regD=jnp.ones(m, dt))
+
+    update = CgK1Backend.update
+
+    def _ls_solver(self):
+        return lsqr
+
+    def _base_solve(self, state: KrylovState, xi_p, xi_d):
+        A, theta_reg, regD = state.A, state.theta_reg, state.regD
+        m, n = A.shape
+        rtol = self.rtol or _sqrt_eps(A.dtype)
+        maxiter = self.maxiter_factor * m
+        e_isqrt = 1.0 / jnp.sqrt(theta_reg)     # E^(-1/2)
+        f_sqrt = jnp.sqrt(regD)                 # F^(1/2)
+
+        def mv(dy):                             # Ā dy, stacked (n + m)
+            return jnp.concatenate([e_isqrt * (A.T @ dy), f_sqrt * dy])
+
+        def rmv(r):                             # Āᵀ r
+            return A @ (e_isqrt * r[:n]) + f_sqrt * r[n:]
+
+        bbar = jnp.concatenate([e_isqrt * xi_d, xi_p / f_sqrt])
+        dy = self._ls_solver()(mv, rmv, bbar, m, rtol, maxiter)
+        dx = (A.T @ dy - xi_d) / theta_reg
+        return dx, dy
+
+    def solve(self, state, xi_p, xi_d):
+        dx, dy = self._base_solve(state, xi_p, xi_d)
+        return self._refine(state, xi_p, xi_d, dx, dy, self._base_solve)
+
+
+@dataclasses.dataclass(frozen=True)
+class LsmrK1Backend(LsqrK1Backend):
+    """LSMR variant of :class:`LsqrK1Backend` (min-residual on the normal
+    equations; ``||Ā'r||`` decreases monotonically — the safer choice when
+    stopping early)."""
+
+    name = "lsmr"
+
+    def linear_system(self) -> str:
+        return "Normal equations (K1), LSMR on the damped LS form"
+
+    def _ls_solver(self):
+        return lsmr
