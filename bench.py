@@ -42,16 +42,17 @@ def bench_tpu(raws, dtype="float32", tol=3e-4):
     jax.config.update("jax_default_matmul_precision", "highest")
     import jax.numpy as jnp
 
-    from tulip_tpu.ipm.batch import batched_hsd_solve, stack_lps
-    from tulip_tpu.ipm.data import make_lp_data
+    from tulip_tpu.ipm.batch import batched_hsd_solve, stack_lps_host
     from tulip_tpu.ipm.hsd import HSDOptions
     from tulip_tpu.kkt import DenseK1Backend, PallasSmallK1Backend
     from tulip_tpu.status import TerminationStatus
 
     dt = jnp.dtype(dtype)
-    lps = [make_lp_data(A, b, c, 0.0, np.zeros(len(c)), u, dtype=dt)
-           for (A, b, c, u) in raws]
-    dats = stack_lps(lps)
+    # Host-side batch assembly: one transfer per leaf instead of ~8*B tiny
+    # transfers (minutes of latency on a tunneled TPU).
+    dats = stack_lps_host(
+        [(A, b, c, 0.0, np.zeros(len(c)), u) for (A, b, c, u) in raws],
+        dtype=dt)
     if dtype == "float32" and jax.default_backend() == "tpu":
         # Blocked Pallas chol+inverse kernel: ~2.6x the XLA path here.
         backend = PallasSmallK1Backend(refinement_steps=1)

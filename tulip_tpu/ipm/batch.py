@@ -68,6 +68,57 @@ def stack_lps(dats: List[LPData]) -> LPData:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *padded)
 
 
+def stack_lps_host(problems, dtype=None) -> LPData:
+    """Host-side batch builder: pad + stack raw ``(A, b, c, c0, l, u)``
+    tuples with numpy and transfer ONE array per LPData leaf.
+
+    Building per-instance device LPData and stacking on device
+    (:func:`stack_lps`) dispatches thousands of tiny transfers/ops — fine
+    locally, minutes of pure latency on remote/tunneled accelerators. This
+    path keeps everything in numpy until the single final transfer.
+
+    Bounds may be infinite; they become the l/u + lflag/uflag masked form.
+    Padded columns are pinned to zero (l = u = 0, both flags on) and padded
+    rows are zero rows with b = 0, exactly like :func:`pad_lp`.
+    """
+    import numpy as np
+
+    if dtype is None:
+        dtype = jnp.float64
+    B = len(problems)
+    m_pad = max(np.shape(p[0])[0] for p in problems)
+    n_pad = max(np.shape(p[0])[1] for p in problems)
+    A_ = np.zeros((B, m_pad, n_pad))
+    b_ = np.zeros((B, m_pad))
+    c_ = np.zeros((B, n_pad))
+    c0_ = np.zeros(B)
+    l_ = np.zeros((B, n_pad))
+    u_ = np.zeros((B, n_pad))
+    lf_ = np.ones((B, n_pad))
+    uf_ = np.ones((B, n_pad))
+    for k, (A, b, c, c0, l, u) in enumerate(problems):
+        A = np.asarray(A, dtype=np.float64)
+        mm, nn = A.shape
+        A_[k, :mm, :nn] = A
+        b_[k, :mm] = b
+        c_[k, :nn] = c
+        c0_[k] = c0
+        l = np.asarray(l, dtype=np.float64)
+        u = np.asarray(u, dtype=np.float64)
+        lf = np.isfinite(l)
+        uf = np.isfinite(u)
+        l_[k, :nn] = np.where(lf, l, 0.0)
+        u_[k, :nn] = np.where(uf, u, 0.0)
+        lf_[k, :nn] = lf
+        uf_[k, :nn] = uf
+    return LPData(
+        A=jnp.asarray(A_, dtype), b=jnp.asarray(b_, dtype),
+        c=jnp.asarray(c_, dtype), c0=jnp.asarray(c0_, dtype),
+        l=jnp.asarray(l_, dtype), u=jnp.asarray(u_, dtype),
+        lflag=jnp.asarray(lf_, dtype), uflag=jnp.asarray(uf_, dtype),
+    )
+
+
 def _solve_one(backend, opts: HSDOptions, dat: LPData) -> HSDState:
     state = init_state(dat, backend)
 

@@ -136,8 +136,8 @@ def batch_linprog(problems: Sequence[dict], *, dtype="float32",
     import jax
 
     from .ipm.batch import (batched_hsd_solve, batched_mpc_solve,
-                            stack_lps)
-    from .ipm.data import lp_data_from_problem
+                            stack_lps_host)
+    from .ipm.data import standard_form_arrays
     from .ipm.hsd import HSDOptions
     from .ipm.mpc import MPCOptions
     from .kkt import DenseK1Backend, PallasSmallK1Backend
@@ -171,9 +171,10 @@ def batch_linprog(problems: Sequence[dict], *, dtype="float32",
                 decided[idx] = (st, sol, cvec, pb.obj0, n, pb.ncon)
                 continue
             pb_ = ps.extract_reduced_problem()
-        dat, n_struct, _ = lp_data_from_problem(pb_, dtype=dt)
-        dats.append(dat)
-        meta.append((idx, n, pb.ncon, cvec, pb.obj0, ps, pb, pb_, n_struct))
+        # Keep standard-form arrays on host; one stacked transfer below.
+        A_, b_, c_, c0_, l_, u_, _ = standard_form_arrays(pb_)
+        dats.append((A_, b_, c_, c0_, l_, u_))
+        meta.append((idx, n, pb.ncon, cvec, pb.obj0, ps, pb, pb_, pb_.nvar))
 
     def _decided_result(st, sol, cvec, c0, n):
         code, msg = _STATUS_MAP.get(st, (4, st.name))
@@ -190,7 +191,8 @@ def batch_linprog(problems: Sequence[dict], *, dtype="float32",
         return [_decided_result(*decided[i][:3], decided[i][3],
                                 decided[i][4])
                 for i in range(len(problems))]
-    stacked = stack_lps(dats)
+    import jax.numpy as jnp
+    stacked = stack_lps_host(dats, dtype=jnp.dtype(dtype))
 
     if backend is None:
         if dt == np.float32 and jax.default_backend() == "tpu":
@@ -228,7 +230,7 @@ def batch_linprog(problems: Sequence[dict], *, dtype="float32",
         st = TerminationStatus(int(statuses[lane]))
         code, msg = _STATUS_MAP.get(st, (4, st.name))
         # Un-pad the lane back to the instance's true standard-form dims.
-        m_i, n_i = dats[lane].nrow, dats[lane].ncol
+        m_i, n_i = dats[lane][0].shape
         pt_i = SimpleNamespace(
             x=out.pt.x[lane, :n_i], zl=out.pt.zl[lane, :n_i],
             zu=out.pt.zu[lane, :n_i], y=out.pt.y[lane, :m_i],
