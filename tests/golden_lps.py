@@ -146,6 +146,95 @@ def ill_scaled(seed=6) -> ProblemData:
     return pb
 
 
+def assignment(nw=7, seed=7) -> ProblemData:
+    """Assignment problem (totally unimodular network LP): the LP optimum
+    is integral and heavily primal-degenerate."""
+    rng = np.random.default_rng(seed)
+    C = rng.uniform(1, 9, (nw, nw))
+    pb = ProblemData(f"assignment-{nw}")
+    idx = {}
+    for i in range(nw):
+        for j in range(nw):
+            idx[i, j] = pb.add_variable((), (), C[i, j], 0.0, INF)
+    for i in range(nw):
+        pb.add_constraint([idx[i, j] for j in range(nw)], [1.0] * nw,
+                          1.0, 1.0, f"agent{i}")
+    for j in range(nw):
+        pb.add_constraint([idx[i, j] for i in range(nw)], [1.0] * nw,
+                          1.0, 1.0, f"task{j}")
+    return pb
+
+
+def max_flow(nn=8, seed=8) -> ProblemData:
+    """Max-flow on a random DAG as an LP (max sense, conservation
+    equalities, capacity bounds as variable upper bounds)."""
+    rng = np.random.default_rng(seed)
+    # Random DAG edges i -> j for i < j; ensure source(0)/sink(nn-1) paths.
+    edges = [(i, j) for i in range(nn - 1) for j in range(i + 1, nn)
+             if j == i + 1 or rng.random() < 0.45]
+    cap = {e: float(rng.uniform(1, 10)) for e in edges}
+    pb = ProblemData(f"maxflow-{nn}")
+    eidx = {}
+    for e in edges:
+        eidx[e] = pb.add_variable((), (), 0.0, 0.0, cap[e],
+                                  f"f{e[0]}_{e[1]}")
+    # Objective: maximize flow out of the source.
+    pb.objsense = False
+    for e in edges:
+        if e[0] == 0:
+            pb.obj[eidx[e]] = 1.0
+    for v in range(1, nn - 1):
+        cols = [eidx[e] for e in edges if v in e]
+        vals = [1.0 if e[1] == v else -1.0 for e in edges if v in e]
+        pb.add_constraint(cols, vals, 0.0, 0.0, f"cons{v}")
+    return pb
+
+
+def multiperiod(nt=12, seed=9) -> ProblemData:
+    """Multiperiod production/inventory staircase: period-linking balance
+    equalities give a banded standard form (exercises the structured
+    backends' RCM/banded plans when solved through them)."""
+    rng = np.random.default_rng(seed)
+    demand = rng.uniform(2, 8, nt)
+    pcost = rng.uniform(1, 4, nt)
+    hcost = rng.uniform(0.1, 0.5, nt)
+    cap = demand.max() * 1.6
+    pb = ProblemData(f"multiperiod-{nt}")
+    pidx = [pb.add_variable((), (), pcost[t], 0.0, cap, f"p{t}")
+            for t in range(nt)]
+    sidx = [pb.add_variable((), (), hcost[t], 0.0, INF, f"s{t}")
+            for t in range(nt)]
+    for t in range(nt):
+        if t == 0:
+            pb.add_constraint([pidx[0], sidx[0]], [1.0, -1.0],
+                              demand[0], demand[0], "bal0")
+        else:
+            pb.add_constraint([sidx[t - 1], pidx[t], sidx[t]],
+                              [1.0, 1.0, -1.0], demand[t], demand[t],
+                              f"bal{t}")
+    return pb
+
+
+def narrow_cone(seed=10) -> ProblemData:
+    """Nearly parallel constraints (interior narrows to a sliver): stresses
+    step-length control and the centrality corrections."""
+    rng = np.random.default_rng(seed)
+    n = 6
+    base = rng.standard_normal(n)
+    base /= np.linalg.norm(base)
+    pb = ProblemData("narrowcone")
+    for j in range(n):
+        pb.add_variable((), (), float(base[j] + 0.01 * rng.standard_normal()),
+                        -10.0, 10.0)
+    x0 = rng.uniform(-1, 1, n)
+    for k in range(8):
+        a = base + 1e-3 * rng.standard_normal(n)
+        rhs = float(a @ x0)
+        pb.add_constraint(list(range(n)), list(a), rhs - 0.05, rhs + 0.05,
+                          f"slab{k}")
+    return pb
+
+
 def to_scipy(pb: ProblemData):
     """(c, A_ub, b_ub, A_eq, b_eq, bounds, sense) for scipy.linprog."""
     n = pb.nvar
@@ -188,11 +277,12 @@ def scipy_optimum(pb: ProblemData) -> float:
 
 
 ALL_GOLDEN = [transportation, production, blending, free_vars_lp,
-              degenerate_lp, ill_scaled]
+              degenerate_lp, ill_scaled,
+              assignment, max_flow, multiperiod, narrow_cone]
 
 # Objective-parity tolerance per family: 1e-8 by default (Tulip-default
 # tolerances), looser for the deliberately singular/degenerate and
 # ill-scaled families where regularization/conditioning bound attainable
 # accuracy (the reference's own example checks use 100*sqrt(eps) ≈ 1.5e-6,
 # examples/optimal.jl:11-12).
-PARITY_RTOL = {"degenerate": 1e-6, "illscaled": 1e-6}
+PARITY_RTOL = {"degenerate": 1e-6, "illscaled": 1e-6, "narrowcone": 1e-6}
