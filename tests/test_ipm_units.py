@@ -251,3 +251,31 @@ def test_newton_system_residuals():
     # 8. kappa dtau + tau dkappa = xi_tk
     r8 = float(pt.kappa) * dtau + float(pt.tau) * dkap - float(xi_tk)
     assert abs(r8) < tol
+
+
+def test_hsd_start_and_fast_solve_options():
+    """MehrotraStart / FastPredictor / FastCorrections reach the same
+    optimum as the defaults (they only change where iterates start and how
+    accurately the steering solves are computed)."""
+    import numpy as np
+    from scipy.optimize import linprog as sp_linprog
+
+    from tulip_tpu.ipm.data import make_lp_data
+    from tulip_tpu.ipm.hsd import HSDOptions, hsd_solve
+    from tulip_tpu.kkt import DenseK1Backend
+
+    rng = np.random.default_rng(7)
+    m, n = 15, 30
+    A = rng.standard_normal((m, n))
+    u = rng.uniform(1, 4, n)
+    b = A @ (u * rng.uniform(0.2, 0.8, n))
+    c = rng.standard_normal(n)
+    ref = sp_linprog(c, A_eq=A, b_eq=b, bounds=list(zip(np.zeros(n), u)),
+                     method="highs")
+    dat = make_lp_data(A, b, c, 0.0, np.zeros(n), u)
+    be = DenseK1Backend(refinement_steps=1)
+    for opts in (HSDOptions(MehrotraStart=True),
+                 HSDOptions(FastPredictor=True, FastCorrections=True)):
+        out = hsd_solve(dat, be, opts)
+        assert int(out.status) == 2
+        assert abs(float(out.pobj) - ref.fun) < 1e-7 * max(1.0, abs(ref.fun))

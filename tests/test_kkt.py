@@ -9,7 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from tulip_tpu.kkt import (CarK1Backend, CgK1Backend, CrK1Backend,
+from tulip_tpu.kkt import (CarK1Backend, CgK1Backend, CraigK1Backend,
+                           CraigmrK1Backend, CrK1Backend,
                            DenseK1Backend, DenseK2Backend,
                            LsmrK1Backend, LsqrK1Backend,
                            MinaresK2Backend, MinresK2Backend,
@@ -36,6 +37,8 @@ BACKENDS = [
     CarK1Backend(),
     LsqrK1Backend(),
     LsmrK1Backend(),
+    CraigK1Backend(),
+    CraigmrK1Backend(),
     MinresK2Backend(),
     MinresQlpK2Backend(),
     MinaresK2Backend(),
@@ -471,6 +474,51 @@ def test_lsqr_backend_never_forms_normal_matrix():
 
     for backend in (LsqrK1Backend(refinement_steps=1),
                     LsmrK1Backend(refinement_steps=1)):
+        st = backend.setup(A)
+        st, ok = backend.update(st, theta_inv, regP, regD)
+        assert bool(ok)
+        dx, dy = backend.solve(st, xi_p, xi_d)
+        np.testing.assert_allclose(np.asarray(dy), np.asarray(dy_ref),
+                                   rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                                   rtol=1e-6, atol=1e-8)
+
+
+def test_craig_min_norm_matches_pinv():
+    """CRAIG returns the minimum-norm solution of a consistent
+    underdetermined system (= pinv solution)."""
+    from tulip_tpu.kkt.krylov import craig
+
+    rng = np.random.default_rng(23)
+    mm, nn = 12, 30
+    A = rng.standard_normal((mm, nn))
+    b = rng.standard_normal(mm)
+    w_ref = np.linalg.pinv(A) @ b
+    Aj = jnp.asarray(A)
+    w = craig(lambda v: Aj @ v, lambda u: Aj.T @ u, jnp.asarray(b), nn,
+              1e-13, 2000)
+    np.testing.assert_allclose(np.asarray(w), w_ref, rtol=1e-9, atol=1e-11)
+
+
+def test_craig_backends_match_direct_solve():
+    """The least-norm (LN family) backends solve K1 to the same answer as
+    the dense direct backend, without ever forming A E^-1 A^T."""
+    rng = np.random.default_rng(29)
+    m, n = 10, 25
+    A = jnp.asarray(rng.standard_normal((m, n)))
+    theta_inv = jnp.asarray(10.0 ** rng.uniform(-4, 4, n))
+    regP = jnp.full(n, 1e-8)
+    regD = jnp.full(m, 1e-6)
+    xi_p = jnp.asarray(rng.standard_normal(m))
+    xi_d = jnp.asarray(rng.standard_normal(n))
+
+    ref = DenseK1Backend(refinement_steps=2)
+    st = ref.setup(A)
+    st, _ = ref.update(st, theta_inv, regP, regD)
+    dx_ref, dy_ref = ref.solve(st, xi_p, xi_d)
+
+    for backend in (CraigK1Backend(refinement_steps=1),
+                    CraigmrK1Backend(refinement_steps=1)):
         st = backend.setup(A)
         st, ok = backend.update(st, theta_inv, regP, regD)
         assert bool(ok)

@@ -120,7 +120,7 @@ def stack_lps_host(problems, dtype=None) -> LPData:
 
 
 def _solve_one(backend, opts: HSDOptions, dat: LPData) -> HSDState:
-    state = init_state(dat, backend)
+    state = init_state(dat, backend, mehrotra=opts.MehrotraStart)
 
     def cond(s):
         return s.status == _UNKNOWN

@@ -71,6 +71,23 @@ class HSDOptions:
     PRegMin: float = 1.4901161193847656e-08
     DRegMin: float = 1.4901161193847656e-08
     OutputLevel: int = 0
+    # Start from the Mehrotra least-squares point (reference:
+    # src/IPM/MPC/MPC.jl:353-410 — the reference only uses it for MPC; its
+    # HSD always cold-starts at ones, HSD.jl:238-249). Off by default for
+    # reference parity. For batched solves it compresses the iteration-count
+    # tail that sets the vmapped while_loop's wall-clock.
+    MehrotraStart: bool = False
+    # Solve the affine-scaling predictor / the extra centrality corrections
+    # with the backend's UNREFINED base solve (skipping its iterative-
+    # refinement sweeps). The predictor only sets the centering weight γ via
+    # its step length, and a correction is only accepted when it grows the
+    # step, so lower accuracy there degrades gracefully while the corrector
+    # direction — the one actually taken — keeps full accuracy. Cuts the
+    # per-iteration op count by ~2 refinement sweeps; significant on
+    # latency-bound platforms. Off by default (reference applies equal
+    # accuracy everywhere).
+    FastPredictor: bool = False
+    FastCorrections: bool = False
 
 
 class HSDState(NamedTuple):
@@ -315,6 +332,10 @@ def compute_step(backend, opts: HSDOptions, dat: LPData, state: HSDState,
         (kkt0, regP, regD, regG, ok0, jnp.zeros((), jnp.int32)))
 
     kkt_solve = partial(backend.solve, kkt)
+    kkt_solve_pred = (partial(backend.solve_unrefined, kkt)
+                      if opts.FastPredictor else kkt_solve)
+    kkt_solve_corr = (partial(backend.solve_unrefined, kkt)
+                      if opts.FastCorrections else kkt_solve)
 
     ll = dat.l * lf
     uu = dat.u * uf
@@ -335,7 +356,7 @@ def compute_step(backend, opts: HSDOptions, dat: LPData, state: HSDState,
 
     # Affine-scaling predictor (step.jl:79-85).
     delta = solve_newton_system(
-        dat, pt, kkt_solve, aux,
+        dat, pt, kkt_solve_pred, aux,
         res.rp, res.rl, res.ru, res.rd, res.rg,
         -(pt.xl * pt.zl) * lf,
         -(pt.xu * pt.zu) * uf,
@@ -362,7 +383,7 @@ def compute_step(backend, opts: HSDOptions, dat: LPData, state: HSDState,
     def corr_body(c):
         delta, alpha, ncor, _ = c
         a_prev = alpha
-        dc, ac = _higher_corrector(dat, opts, pt, kkt_solve, aux, gamma,
+        dc, ac = _higher_corrector(dat, opts, pt, kkt_solve_corr, aux, gamma,
                                    delta, a_prev)
         use = ac > a_prev
         delta = _tree_where(use, dc, delta)
@@ -467,12 +488,23 @@ def update_status(dat: LPData, opts: HSDOptions, norms: DataNorms,
 # Iteration + drivers
 # ---------------------------------------------------------------------------
 
-def init_state(dat: LPData, backend) -> HSDState:
-    """Cold-start state (reference: HSD.jl:34-65, 238-249)."""
-    pt = starting_point(dat, hflag=True)
+def init_state(dat: LPData, backend, mehrotra: bool = False) -> HSDState:
+    """Cold-start state (reference: HSD.jl:34-65, 238-249).
+
+    ``mehrotra=True`` replaces the all-ones start with the Mehrotra
+    least-squares point embedded at τ = κ = 1 (one extra factorization and
+    two extra solves, once per solve).
+    """
+    kkt = backend.setup_data(dat)
+    if mehrotra:
+        from .mpc import mpc_starting_point
+        pt, kkt = mpc_starting_point(dat, backend, kkt)
+        one = jnp.ones((), dtype=pt.x.dtype)
+        pt = update_mu(pt._replace(kappa=one), dat, hflag=True)
+    else:
+        pt = starting_point(dat, hflag=True)
     res = compute_residuals(dat, pt)
     dt = pt.x.dtype
-    kkt = backend.setup_data(dat)
     return HSDState(
         pt=pt, res=res,
         regP=jnp.ones(dat.ncol, dtype=dt),
@@ -527,7 +559,7 @@ def hsd_solve_device(backend, opts: HSDOptions, dat: LPData,
     """Fully-jitted solve: lax.while_loop over iterations. This is the
     building block the batched (vmap) and sharded solvers reuse."""
     if state is None:
-        state = init_state(dat, backend)
+        state = init_state(dat, backend, mehrotra=opts.MehrotraStart)
 
     def cond(s):
         return s.status == _UNKNOWN
@@ -549,11 +581,12 @@ def hsd_solve(dat: LPData, backend, opts: HSDOptions,
     if opts.OutputLevel == 0 and log_fn is None and opts.TimeLimit == float("inf"):
         # init_state runs eagerly: backends with host-side symbolic analysis
         # (e.g. the banded RCM plan) must see concrete arrays in setup.
-        state0 = full_matmul_precision(init_state)(dat, backend)
+        state0 = full_matmul_precision(init_state)(
+            dat, backend, mehrotra=opts.MehrotraStart)
         return jax.block_until_ready(
             hsd_solve_device(backend, opts, dat, state0))
 
-    state = init_state(dat, backend)
+    state = init_state(dat, backend, mehrotra=opts.MehrotraStart)
     tstart = time.time()
     if opts.OutputLevel > 0:
         print("\nOptimizer info (HSD)")

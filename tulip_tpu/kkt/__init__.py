@@ -35,7 +35,8 @@ from .base import KKTBackend
 from .dense import DenseK1Backend
 from .dense_ldl import DenseK2Backend
 from .extended import ExtendedK1Backend
-from .krylov import (CarK1Backend, CgK1Backend, CrK1Backend, LsmrK1Backend,
+from .krylov import (CarK1Backend, CgK1Backend, CraigK1Backend,
+                     CraigmrK1Backend, CrK1Backend, LsmrK1Backend,
                      LsqrK1Backend,
                      MinaresK2Backend, MinresK2Backend, MinresQlpK2Backend,
                      SqdMinresK2Backend, SymmlqK2Backend, TricgK2Backend)
@@ -54,7 +55,8 @@ def register(cls: Type[KKTBackend]) -> Type[KKTBackend]:
 
 for _cls in (BandedK1Backend, DenseK1Backend, DenseK2Backend,
              ExtendedK1Backend,
-             CarK1Backend, CgK1Backend, CrK1Backend,
+             CarK1Backend, CgK1Backend, CraigK1Backend, CraigmrK1Backend,
+             CrK1Backend,
              LsmrK1Backend, LsqrK1Backend,
              MinaresK2Backend, MinresK2Backend, MinresQlpK2Backend,
              SqdMinresK2Backend, SymmlqK2Backend,
@@ -91,6 +93,8 @@ __all__ = [
     "ExtendedK1Backend",
     "CarK1Backend",
     "CgK1Backend",
+    "CraigK1Backend",
+    "CraigmrK1Backend",
     "CrK1Backend",
     "LsmrK1Backend",
     "LsqrK1Backend",

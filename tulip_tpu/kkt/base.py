@@ -58,6 +58,17 @@ class KKTBackend:
               xi_d: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         raise NotImplementedError
 
+    def solve_unrefined(self, state: Any, xi_p: jnp.ndarray,
+                        xi_d: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Solve WITHOUT the backend's iterative-refinement sweeps, for
+        callers that tolerate lower accuracy (e.g. the IPM's FastPredictor
+        option). Falls back to the full solve when the backend has no
+        base/refine split."""
+        base = getattr(self, "_base_solve", None)
+        if base is None:
+            return self.solve(state, xi_p, xi_d)
+        return base(state, xi_p, xi_d)
+
     # -- shared refinement helper ---------------------------------------
     def _refine(self, state, xi_p, xi_d, dx, dy, base_solve):
         """Iterative refinement on the augmented system.

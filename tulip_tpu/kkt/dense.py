@@ -47,11 +47,20 @@ class DenseK1Backend(KKTBackend):
     backsolves (reference profile: src/IPM/HSD/step.jl:63-136) onto the
     MXU. Slightly less accurate than backsolves — pair with
     ``refinement_steps>=1`` in f32.
+
+    ``explicit_minv=True`` goes one step further and stores the full
+    normal-equations inverse ``K⁻¹ = L⁻ᵀL⁻¹`` (one extra m×m GEMM at update
+    time), making every backsolve a SINGLE GEMV. On latency-bound platforms
+    the per-iteration op count drops by one op per base solve (~10 ops per
+    IPM iteration at CorrectionLimit=3); accuracy is comparable to the
+    inverse-factor path (same ‖L⁻¹‖² amplification) — pair with
+    ``refinement_steps>=1`` in f32.
     """
 
     name = "dense"
     systems = ("K1",)
     inv_factor: bool = False
+    explicit_minv: bool = False
 
     def arithmetic(self, state) -> str:
         return str(state.A.dtype)
@@ -82,18 +91,23 @@ class DenseK1Backend(KKTBackend):
         # Replace a failed factor with identity so downstream solves stay
         # finite while the regularization-bump loop retries.
         L = jnp.where(ok, L, jnp.eye(K.shape[-1], dtype=K.dtype))
-        if self.inv_factor:
+        if self.inv_factor or self.explicit_minv:
             # Store L^-1 instead of L: one TRSM with m RHS now, GEMV-only
             # solves afterwards.
             L = jax.scipy.linalg.solve_triangular(
                 L, jnp.eye(K.shape[-1], dtype=K.dtype), lower=True)
+            if self.explicit_minv:
+                # Store K^-1 = L^-T L^-1: single-GEMV solves.
+                L = L.T @ L
         return (DenseK1State(A=A, d=d, theta_reg=theta_reg, regD=regD, L=L),
                 ok)
 
     def _base_solve(self, state: DenseK1State, xi_p, xi_d):
         A, d, L = state.A, state.d, state.L
         rhs = xi_p + A @ (d * xi_d)
-        if self.inv_factor:
+        if self.explicit_minv:
+            dy = L @ rhs
+        elif self.inv_factor:
             dy = L.T @ (L @ rhs)
         else:
             w = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)

@@ -1088,3 +1088,124 @@ class LsmrK1Backend(LsqrK1Backend):
 
     def _ls_solver(self):
         return lsmr
+
+
+# ---------------------------------------------------------------------------
+# LN (least-norm) family: CRAIG / LNLQ-CG / CRAIGMR
+# ---------------------------------------------------------------------------
+
+def craig(matvec: Callable, rmatvec: Callable, b: jnp.ndarray, nw: int,
+          rtol, maxiter: int) -> jnp.ndarray:
+    """CRAIG (Paige 1974): minimum-norm solution of the CONSISTENT
+    underdetermined system ``A w = b`` via Golub-Kahan bidiagonalization
+    (mathematically CG on ``A Aᵀ y = b`` with ``w = Aᵀ y``), as one
+    ``lax.while_loop``. Also the CG transfer point of LNLQ
+    (Estrin, Orban & Saunders 2019). Residual norm ``||b - A w_k|| =
+    |β_{k+1} ζ_k|`` is tracked exactly; stops at ``rtol * ||b||``."""
+    dt = b.dtype
+    one = jnp.ones((), dt)
+
+    def safe(v):
+        return jnp.where(v == 0, one, v)
+
+    beta1 = jnp.linalg.norm(b)
+    u = b / safe(beta1)
+    v = rmatvec(u)
+    alfa = jnp.linalg.norm(v)
+    v = v / safe(alfa)
+    zeta = beta1 / safe(alfa)
+    w = zeta * v
+    tol = rtol * safe(beta1)
+
+    # carry: w, u, v, alfa, zeta, k, rnorm
+    carry0 = (w, u, v, alfa, zeta, jnp.ones((), jnp.int32),
+              jnp.abs(beta1))
+
+    def cond(c):
+        *_, k, rnorm = c
+        return (rnorm > tol) & (k < maxiter)
+
+    def body(c):
+        w, u, v, alfa, zeta, k, _ = c
+        u_new = matvec(v) - alfa * u
+        beta = jnp.linalg.norm(u_new)
+        u_new = u_new / safe(beta)
+        v_new = rmatvec(u_new) - beta * v
+        alfa_new = jnp.linalg.norm(v_new)
+        v_new = v_new / safe(alfa_new)
+        rnorm = jnp.abs(beta * zeta)            # ||b - A w_k||
+        zeta_new = -(beta / safe(alfa_new)) * zeta
+        w = w + zeta_new * v_new
+        return (w, u_new, v_new, alfa_new, zeta_new, k + 1, rnorm)
+
+    out = jax.lax.while_loop(cond, body, carry0)
+    return out[0]
+
+
+@dataclasses.dataclass(frozen=True)
+class CraigK1Backend(LsqrK1Backend):
+    """CRAIG/LNLQ on the least-norm formulation of K1 (the reference's LN
+    family, reference: src/KKT/Krylov/defs.jl:19-23 — defined there but
+    unwired; implemented here as a working backend). With
+    ``Â = [A E^(-1/2)  F^(1/2)]`` (full row rank since F = Rd > 0, so the
+    system is always consistent) the minimum-norm problem
+
+        min ||w||  s.t.  Â w = ξp + A E⁻¹ ξd
+
+    has solution ``w = Âᵀ dy`` where ``(A E⁻¹ Aᵀ + F) dy = ξ̄`` is exactly
+    K1 — and the second block of w recovers the K1 solution directly:
+    ``dy = F^(-1/2) w₂`` (no LNLQ-style auxiliary-y recurrence needed).
+    Never forms A E⁻¹ Aᵀ; κ(Â) = √κ(K1) like the LS family."""
+
+    name = "craig"
+
+    def linear_system(self) -> str:
+        return "Normal equations (K1), CRAIG on the least-norm form"
+
+    def _base_solve(self, state: KrylovState, xi_p, xi_d):
+        A, theta_reg, regD = state.A, state.theta_reg, state.regD
+        m, n = A.shape
+        rtol = self.rtol or _sqrt_eps(A.dtype)
+        maxiter = self.maxiter_factor * m
+        e_isqrt = 1.0 / jnp.sqrt(theta_reg)     # E^(-1/2)
+        f_sqrt = jnp.sqrt(regD)                 # F^(1/2)
+
+        def mv(w):                               # Â w, m-vector
+            return A @ (e_isqrt * w[:n]) + f_sqrt * w[n:]
+
+        def rmv(u):                              # Âᵀ u, (n + m)-vector
+            return jnp.concatenate([e_isqrt * (A.T @ u), f_sqrt * u])
+
+        bbar = xi_p + A @ (xi_d / theta_reg)
+        w = craig(mv, rmv, bbar, n + m, rtol, maxiter)
+        dy = w[n:] / f_sqrt
+        dx = (A.T @ dy - xi_d) / theta_reg
+        return dx, dy
+
+
+@dataclasses.dataclass(frozen=True)
+class CraigmrK1Backend(CraigK1Backend):
+    """CRAIGMR role of the LN family: minimum-RESIDUAL iterates on the same
+    least-norm system — MINRES applied to the SPD operator
+    ``Â Âᵀ = A E⁻¹ Aᵀ + F`` in factored (Gram-free) form, with ``dy`` read
+    off directly. Monotone residual decrease makes it the safer LN choice
+    when stopping early, mirroring LSMR's role in the LS family."""
+
+    name = "craigmr"
+
+    def linear_system(self) -> str:
+        return "Normal equations (K1), CRAIGMR (min-residual least-norm)"
+
+    def _base_solve(self, state: KrylovState, xi_p, xi_d):
+        A, theta_reg, regD = state.A, state.theta_reg, state.regD
+        m, n = A.shape
+        rtol = self.rtol or _sqrt_eps(A.dtype)
+        maxiter = self.maxiter_factor * m
+
+        def op(y):                               # (A E⁻¹ Aᵀ + F) y, Gram-free
+            return A @ ((A.T @ y) / theta_reg) + regD * y
+
+        bbar = xi_p + A @ (xi_d / theta_reg)
+        dy = minres(op, bbar, rtol, maxiter)
+        dx = (A.T @ dy - xi_d) / theta_reg
+        return dx, dy

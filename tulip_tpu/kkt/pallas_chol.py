@@ -131,6 +131,8 @@ class PallasSmallK1Backend(DenseK1Backend):
         Linv = cholesky_inverse_pallas(K, interpret=self.interpret)
         ok = jnp.all(jnp.isfinite(Linv))
         Linv = jnp.where(ok, Linv, jnp.eye(m, dtype=K.dtype))
+        if self.explicit_minv:
+            Linv = Linv.T @ Linv
         from .dense import DenseK1State
         return (DenseK1State(A=A, d=d, theta_reg=theta_reg, regD=regD,
                              L=Linv), ok)
@@ -138,7 +140,7 @@ class PallasSmallK1Backend(DenseK1Backend):
     def _base_solve(self, state, xi_p, xi_d):
         A, d, Li = state.A, state.d, state.L
         rhs = xi_p + A @ (d * xi_d)
-        dy = Li.T @ (Li @ rhs)
+        dy = Li @ rhs if self.explicit_minv else Li.T @ (Li @ rhs)
         dx = d * (A.T @ dy - xi_d)
         return dx, dy
 
