@@ -70,7 +70,15 @@ class Model:
         if params.Presolve.Level > 0:
             t_ = time.time()
             ps = PresolveData(pb, params.Presolve)
-            st = ps.presolve()
+            engine = getattr(params.Presolve, "Engine", "auto")
+            st = None
+            if engine in ("auto", "native"):
+                from .presolve.native import presolve_native
+                st = presolve_native(ps)
+                if st is None and engine == "native":
+                    raise RuntimeError("native presolve engine unavailable")
+            if st is None:
+                st = ps.presolve()
             self.timings["presolve"] = time.time() - t_
             self.presolve_data = ps
             if st in (TerminationStatus.OPTIMAL,

@@ -91,6 +91,12 @@ class PresolveOptions:
     """Presolve options (reference: src/Presolve/Presolve.jl options usage)."""
 
     Level: int = 1  # 0 = disabled
+    # Pass-loop engine: "auto" uses the native C++ engine
+    # (native/presolve.cpp — identical op streams to the Python engine,
+    # differentially fuzz-tested) when the library is available, falling
+    # back to Python; "native" requires it; "python" forces the Python
+    # engine.
+    Engine: str = "auto"
 
 
 @dataclasses.dataclass
