@@ -159,6 +159,9 @@ class Model:
                 PRegMin=ipm_opts.PRegMin,
                 DRegMin=ipm_opts.DRegMin,
                 OutputLevel=max(params.OutputLevel, ipm_opts.OutputLevel),
+                MehrotraStart=ipm_opts.MehrotraStart,
+                FastPredictor=ipm_opts.FastPredictor,
+                FastCorrections=ipm_opts.FastCorrections,
             )
             t_ = time.time()
             with profile_ctx:

@@ -54,6 +54,15 @@ class IPMOptions:
     PRegMin: Optional[float] = _AUTO
     DRegMin: Optional[float] = _AUTO
 
+    # Start HSD from the Mehrotra least-squares point (the reference uses
+    # it only for MPC). Costs one extra factorization + two solves.
+    MehrotraStart: bool = False
+    # Solve the predictor / centrality corrections with the backend's
+    # unrefined base solve (the taken corrector direction keeps full
+    # accuracy). Op-count reduction for latency-bound platforms.
+    FastPredictor: bool = False
+    FastCorrections: bool = False
+
     # Which algorithm: "HSD" (homogeneous self-dual, default) or "MPC"
     # (reference: options.jl:24 Factory(HSD)).
     Algorithm: str = "HSD"
