@@ -256,3 +256,47 @@ def test_postsolve_scaling_roundtrip():
     z = tlp.get_attribute(m, "ObjectiveValue")
     assert abs(z - r.fun) < 1e-6 * max(1, abs(r.fun))
     np.testing.assert_allclose(m.solution.Ax, A @ m.solution.x, atol=1e-8)
+
+
+def test_extract_reduced_arrays_matches_list_path():
+    """The vectorized extraction produces the same reduced problem and the
+    same scaling as the list-based path."""
+    import numpy as np
+
+    from tests.test_native_presolve import random_lp
+    from tulip_tpu.presolve.presolve import PresolveData
+    from tulip_tpu.status import TerminationStatus
+
+    checked = 0
+    for seed in range(40):
+        pb = random_lp(seed + 1000)
+        ps1 = PresolveData(pb)
+        if ps1.presolve() != TerminationStatus.UNKNOWN:
+            continue
+        red1 = ps1.extract_reduced_problem()
+        ps2 = PresolveData(pb)
+        ps2.presolve()
+        red2 = ps2.extract_reduced_arrays()
+
+        assert (red1.ncon, red1.nvar) == (red2.ncon, red2.nvar)
+        np.testing.assert_allclose(ps2.row_scaling, ps1.row_scaling,
+                                   rtol=1e-13)
+        np.testing.assert_allclose(ps2.col_scaling, ps1.col_scaling,
+                                   rtol=1e-13)
+        for f in ("obj", "lcon", "ucon", "lvar", "uvar"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(red2, f), dtype=float),
+                np.asarray(getattr(red1, f), dtype=float), rtol=1e-13,
+                err_msg=f"{f} seed={seed}")
+        assert red2.obj0 == pytest.approx(red1.obj0, rel=1e-13)
+        A1 = np.zeros((red1.ncon, red1.nvar))
+        I, J, V = red1.to_coo()
+        if len(I):
+            A1[I, J] = V
+        A2 = np.zeros_like(A1)
+        I, J, V = red2.to_coo()
+        if len(I):
+            A2[I, J] = V
+        np.testing.assert_allclose(A2, A1, rtol=1e-13)
+        checked += 1
+    assert checked >= 10

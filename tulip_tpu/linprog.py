@@ -170,7 +170,7 @@ def batch_linprog(problems: Sequence[dict], *, dtype="float32",
                 postsolve(sol, ps.solution, ps)
                 decided[idx] = (st, sol, cvec, pb.obj0, n, pb.ncon)
                 continue
-            pb_ = ps.extract_reduced_problem()
+            pb_ = ps.extract_reduced_arrays()
         # Keep standard-form arrays on host; one stacked transfer below.
         A_, b_, c_, c0_, l_, u_, _ = standard_form_arrays(pb_)
         dats.append((A_, b_, c_, c0_, l_, u_))

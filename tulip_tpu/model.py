@@ -93,7 +93,7 @@ class Model:
                 self.status = st
                 self.solve_time = time.time() - t0
                 return self.status
-            pb_ = ps.extract_reduced_problem()
+            pb_ = ps.extract_reduced_arrays()
             if params.OutputLevel > 0:
                 print("\nReduced problem info")
                 print(f"  Constraints : {ps.nrow}  "
@@ -328,12 +328,14 @@ def _extract_solution(sol: Solution, pb: ProblemData, state,
     sol.y_lower[:] = np.maximum(y, 0.0) * tau_inv
     sol.y_upper[:] = np.maximum(-y, 0.0) * tau_inv
 
-    # Row activity in original space.
-    for i, row in enumerate(pb.arows):
-        ax = 0.0
-        for j, aij in row.items():
-            ax += aij * sol.x[j]
-        sol.Ax[i] = ax
+    # Row activity in original space (COO bincount: works for both
+    # ProblemData and the vectorized ReducedArrays container).
+    I, J, V = pb.to_coo()
+    if len(I):
+        sol.Ax[:] = np.bincount(I, V * np.asarray(sol.x)[J],
+                                minlength=pb.ncon)
+    else:
+        sol.Ax[:] = 0.0
 
     pobj = float(state.pobj)
     dobj = float(state.dobj)

@@ -744,3 +744,100 @@ def postsolve(sol: Solution, sol_: Solution, ps: PresolveData) -> None:
         for j, aij in row.items():
             ax += aij * sol.x[j]
         sol.Ax[i] = ax
+
+
+class ReducedArrays:
+    """Lightweight reduced-problem container (vectorized extraction path).
+
+    Duck-types the slice of the ProblemData surface that the standard-form
+    converter consumes (ncon/nvar/bounds/obj/objsense/to_coo/nnz), without
+    building per-row dict storage — O(nnz) numpy instead of Python loops.
+    """
+
+    def __init__(self, name, objsense, obj, obj0, lcon, ucon, lvar, uvar,
+                 I, J, V):
+        self.name = name
+        self.objsense = objsense
+        self.obj = obj
+        self.obj0 = obj0
+        self.lcon = lcon
+        self.ucon = ucon
+        self.lvar = lvar
+        self.uvar = uvar
+        self._I, self._J, self._V = I, J, V
+
+    @property
+    def ncon(self):
+        return len(self.lcon)
+
+    @property
+    def nvar(self):
+        return len(self.lvar)
+
+    @property
+    def nnz(self):
+        return len(self._V)
+
+    def to_coo(self):
+        return self._I, self._J, self._V
+
+
+def _extract_reduced_arrays(self) -> "ReducedArrays":
+    """Vectorized counterpart of :meth:`extract_reduced_problem`.
+
+    Same output (same scaling formulas, same index maps, sets the same
+    ``row_scaling``/``col_scaling`` used by postsolve) as the list-based
+    path — asserted by tests/test_presolve.py equivalence tests — but
+    built with numpy gathers/bincounts: O(nnz) C instead of Python loops.
+    """
+    pb0 = self.pb0
+    I = np.fromiter((i for col in pb0.acols for i in col.nzind),
+                    np.int64, count=sum(len(c.nzind) for c in pb0.acols))
+    J = np.fromiter((j for j, col in enumerate(pb0.acols)
+                     for _ in col.nzind), np.int64, count=I.size)
+    V = np.fromiter((v for col in pb0.acols for v in col.nzval),
+                    np.float64, count=I.size)
+
+    rowflag = np.asarray(self.rowflag, bool)
+    colflag = np.asarray(self.colflag, bool)
+    keep = rowflag[I] & colflag[J] & (V != 0.0) if I.size else \
+        np.zeros(0, bool)
+    new_con = np.asarray(self.new_con_idx, np.int64)
+    new_var = np.asarray(self.new_var_idx, np.int64)
+    I2 = new_con[I[keep]]
+    J2 = new_var[J[keep]]
+    V2 = V[keep]
+
+    nr, nc = len(self.old_con_idx), len(self.old_var_idx)
+    rnorm = np.sqrt(np.bincount(I2, V2 * V2, minlength=nr)) if nr else \
+        np.zeros(0)
+    cnorm = np.sqrt(np.bincount(J2, V2 * V2, minlength=nc)) if nc else \
+        np.zeros(0)
+    rscale = np.sqrt(np.where(rnorm > 0, rnorm, 1.0))
+    cscale = np.sqrt(np.where(cnorm > 0, cnorm, 1.0))
+    V2 = V2 / (rscale[I2] * cscale[J2])
+
+    ovi = np.asarray(self.old_var_idx, np.int64)
+    oci = np.asarray(self.old_con_idx, np.int64)
+    obj = np.asarray(self.obj)[ovi] if nc else np.zeros(0)
+    obj0 = self.obj0
+    if not self.objsense:
+        obj = -obj
+        obj0 = -obj0
+    red = ReducedArrays(
+        name=pb0.name,
+        objsense=self.objsense,
+        obj=obj / cscale,
+        obj0=obj0,
+        lcon=np.asarray(self.lrow)[oci] / rscale if nr else np.zeros(0),
+        ucon=np.asarray(self.urow)[oci] / rscale if nr else np.zeros(0),
+        lvar=np.asarray(self.lcol)[ovi] * cscale if nc else np.zeros(0),
+        uvar=np.asarray(self.ucol)[ovi] * cscale if nc else np.zeros(0),
+        I=I2, J=J2, V=V2)
+    self.row_scaling = rscale
+    self.col_scaling = cscale
+    self.pb_red = red
+    return red
+
+
+PresolveData.extract_reduced_arrays = _extract_reduced_arrays
