@@ -175,19 +175,63 @@ class ProblemData:
         self.__init__(name)
         self.objsense = bool(objsense)
         self.obj0 = float(obj0)
-        for j in range(n):
-            self.add_variable((), (), obj[j], lvar[j], uvar[j],
-                              var_names[j] if var_names else "")
+        self.nvar = n
+        self.ncon = m
+        self.obj = [float(v) for v in obj]
+        self.lvar = [float(v) for v in lvar]
+        self.uvar = [float(v) for v in uvar]
+        self.lcon = [float(v) for v in lcon]
+        self.ucon = [float(v) for v in ucon]
+        self.var_names = list(var_names) if var_names else [""] * n
+        self.con_names = list(con_names) if con_names else [""] * m
+
+        # Vectorized sparse assembly: drop zero inputs, sum duplicates,
+        # drop zero sums, build per-row (sorted by column) and per-column
+        # (sorted by row) index/value lists by boundary slicing — same
+        # result as per-entry add_constraint, O(nnz log nnz) numpy.
         aI, aJ, aV = A_coo
-        rows: List[Dict[int, float]] = [dict() for _ in range(m)]
-        for i, j, v in zip(aI, aJ, aV):
-            if v != 0.0:
-                rows[i][j] = rows[i].get(j, 0.0) + float(v)
-        for i in range(m):
-            cols = sorted(rows[i])
-            self.add_constraint(cols, [rows[i][j] for j in cols],
-                                lcon[i], ucon[i],
-                                con_names[i] if con_names else "")
+        I = np.asarray(aI, dtype=np.int64).ravel()
+        J = np.asarray(aJ, dtype=np.int64).ravel()
+        V = np.asarray(aV, dtype=np.float64).ravel()
+        nz = V != 0.0
+        I, J, V = I[nz], J[nz], V[nz]
+        if I.size:
+            if I.min() < 0 or I.max() >= m:
+                raise IndexError("row index out of range")
+            if J.min() < 0 or J.max() >= n:
+                raise IndexError("column index out of range")
+            key = I * n + J
+            order = np.argsort(key, kind="stable")
+            ks, vs = key[order], V[order]
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            sums = np.add.reduceat(vs, starts)
+            ukey = ks[starts]
+            keep = sums != 0.0
+            ukey, sums = ukey[keep], sums[keep]
+            I, J, V = ukey // n, ukey % n, sums
+
+        self.arows = [SparseAxis() for _ in range(m)]
+        self.acols = [SparseAxis() for _ in range(n)]
+        if I.size:
+            # (I, J, V) is sorted by (i, j): slice rows directly.
+            Jl, Vl = J.tolist(), V.tolist()
+            rowptr = np.searchsorted(I, np.arange(m + 1))
+            for i in range(m):
+                s, e = rowptr[i], rowptr[i + 1]
+                if s < e:
+                    self.arows[i] = SparseAxis.__new__(SparseAxis)
+                    self.arows[i].nzind = Jl[s:e]
+                    self.arows[i].nzval = Vl[s:e]
+            o = np.lexsort((I, J))
+            Ic, Jc, Vc = I[o], J[o], V[o]
+            Il, Vcl = Ic.tolist(), Vc.tolist()
+            colptr = np.searchsorted(Jc, np.arange(n + 1))
+            for j in range(n):
+                s, e = colptr[j], colptr[j + 1]
+                if s < e:
+                    self.acols[j] = SparseAxis.__new__(SparseAxis)
+                    self.acols[j].nzind = Il[s:e]
+                    self.acols[j].nzval = Vcl[s:e]
 
     # ------------------------------------------------------------------
     # Deletion / modification (reference: src/problemData.jl:328-490)
