@@ -19,7 +19,7 @@ from __future__ import annotations
 import dataclasses
 import time
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -413,8 +413,10 @@ def _mpc_iteration_jit(backend, opts, dat, state):
 
 @partial(jax.jit, static_argnames=("backend", "opts"))
 @full_matmul_precision
-def mpc_solve_device(backend, opts: MPCOptions, dat: LPData) -> HSDState:
-    state = init_state_mpc(dat, backend)
+def mpc_solve_device(backend, opts: MPCOptions, dat: LPData,
+                     state: Optional[HSDState] = None) -> HSDState:
+    if state is None:
+        state = init_state_mpc(dat, backend)
 
     def cond(s):
         return s.status == _UNKNOWN
@@ -428,7 +430,12 @@ def mpc_solve_device(backend, opts: MPCOptions, dat: LPData) -> HSDState:
 def mpc_solve(dat: LPData, backend, opts: MPCOptions, log_fn=None) -> HSDState:
     """Host-driven MPC solve (reference: MPC.jl:218-351)."""
     if opts.OutputLevel == 0 and log_fn is None and opts.TimeLimit == float("inf"):
-        return jax.block_until_ready(mpc_solve_device(backend, opts, dat))
+        # init_state_mpc runs eagerly: backends with host-side symbolic
+        # analysis (banded/tiled-sparse/SMW plans) must see concrete
+        # arrays in setup.
+        state0 = full_matmul_precision(init_state_mpc)(dat, backend)
+        return jax.block_until_ready(
+            mpc_solve_device(backend, opts, dat, state0))
 
     state = full_matmul_precision(init_state_mpc)(dat, backend)
     tstart = time.time()

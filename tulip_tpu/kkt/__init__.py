@@ -44,6 +44,8 @@ from .mixed import MixedK1Backend
 from .pallas_chol import PallasK1Backend, PallasSmallK1Backend
 from .schur import SchurK1Backend
 from .sparse import SparseK1Backend
+from .sparse_ldl import SparseK2Backend
+from .splitting import SplitK1Backend
 
 _REGISTRY: Dict[str, Type[KKTBackend]] = {}
 
@@ -63,7 +65,7 @@ for _cls in (BandedK1Backend, DenseK1Backend, DenseK2Backend,
              TricgK2Backend,
              MixedK1Backend,
              PallasK1Backend, PallasSmallK1Backend, SchurK1Backend,
-             SparseK1Backend):
+             SparseK1Backend, SparseK2Backend, SplitK1Backend):
     register(_cls)
 
 
@@ -82,6 +84,12 @@ def make_backend(name=None, system=None, refinement_steps: int = 0,
     cls = _REGISTRY[name]
     if system is not None and system not in cls.systems:
         raise ValueError(f"backend {name!r} does not support system {system!r}")
+    if cls.experimental:
+        import warnings
+        warnings.warn(
+            f"KKT backend {name!r} is experimental: it passes the "
+            "augmented-system conformance kit but is not validated for "
+            "full 1e-8 end-to-end solves", stacklevel=2)
     return cls(refinement_steps=refinement_steps, **kwargs)
 
 
@@ -109,6 +117,8 @@ __all__ = [
     "PallasSmallK1Backend",
     "SchurK1Backend",
     "SparseK1Backend",
+    "SparseK2Backend",
+    "SplitK1Backend",
     "make_backend",
     "available_backends",
     "register",

@@ -26,6 +26,9 @@ class KKTBackend:
 
     name = "abstract"
     systems: Tuple[str, ...] = ()
+    # Experimental backends pass the conformance kit but are NOT validated
+    # for full 1e-8 end-to-end solves; make_backend warns on instantiation.
+    experimental = False
 
     # -- introspection (reference: src/KKT/KKT.jl:103-121) ---------------
     def arithmetic(self, state) -> str:

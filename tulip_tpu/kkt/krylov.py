@@ -703,6 +703,10 @@ class TricgK2Backend(KKTBackend):
     systems = ("K2",)
     rtol: float = 0.0
     maxiter_factor: int = 10
+    # Experimental (see module docstring): controls the N⁻¹-weighted
+    # residual, but the unweighted dual residual degrades at late-IPM Θ
+    # spans; prefer sqd-minres for full solves.
+    experimental = True
 
     def arithmetic(self, state) -> str:
         return str(state.A.dtype)

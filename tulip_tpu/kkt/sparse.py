@@ -66,8 +66,22 @@ def tile_plan(A_np: np.ndarray, block: int, use_native: bool = True):
     nbr = -(-m // block)
     # Tile-granular pattern of the permuted K (lower triangle).
     Kp = Kpat[perm][:, perm].tocoo()
-    bi = Kp.row // block
-    bj = Kp.col // block
+    sched = symbolic_schedule(Kp.row // block, Kp.col // block, nbr)
+    if sched is None:
+        return None
+    sched["perm"] = perm
+    return sched
+
+
+def symbolic_schedule(bi, bj, nbr, gate: float = 0.5):
+    """Tile-granular symbolic elimination + static schedule emission.
+
+    ``bi``/``bj`` are block coordinates of the nonzero entries of a
+    (permuted) symmetric pattern; ``nbr`` the number of block rows. Shared
+    by the K1 planner above and the K2 planner (kkt/sparse_ldl.py).
+    Returns None when the filled tile count gives no sparsity advantage
+    (>= ``gate`` of the dense lower-triangle tile count), else the padded
+    static schedule dict (everything except the node permutation)."""
     cols = [set() for _ in range(nbr)]   # strictly-below block rows per col
     for i, j in zip(bi, bj):
         if i > j:
@@ -86,7 +100,7 @@ def tile_plan(A_np: np.ndarray, block: int, use_native: bool = True):
     ntiles_sub = sum(len(c) for c in cols)
     ntiles = ntiles_sub + nbr            # + diagonal tiles
     dense_tiles = nbr * (nbr + 1) // 2
-    if ntiles >= 0.5 * dense_tiles or nbr <= 2:
+    if ntiles >= gate * dense_tiles or nbr <= 2:
         return None                      # no sparsity advantage
 
     # Assign tile ids: diagonal tiles first (id j for (j, j)), then
@@ -127,7 +141,7 @@ def tile_plan(A_np: np.ndarray, block: int, use_native: bool = True):
                 u_b[j, q] = x
                 u_tgt[j, q] = tid[(a, b)]
                 q += 1
-    return dict(perm=perm, nbr=nbr, ntiles=ntiles, cmax=cmax, umax=umax,
+    return dict(nbr=nbr, ntiles=ntiles, cmax=cmax, umax=umax,
                 col_ids=col_ids, col_blkrows=col_blkrows,
                 u_a=u_a, u_b=u_b, u_tgt=u_tgt)
 

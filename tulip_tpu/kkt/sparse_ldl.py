@@ -1,0 +1,311 @@
+"""Tiled sparse K2 (augmented system) backend: host symbolic analysis +
+MXU-tile block LDLᵀ of the quasi-definite matrix.
+
+This is the structured equivalent of the reference's workhorse sparse
+backend — CHOLMOD LDLᵀ on the augmented system (reference:
+src/KKT/Cholmod/sqd.jl:42-53, default Float64 dispatch
+src/KKT/KKT.jl:134-141). K2 is what survives **dense columns** in A: a
+dense column densifies K1 = AΘAᵀ completely, but in K2 it is a single
+dense row/column that a dense-last ordering confines to the trailing
+block, and κ(K2) = √κ(K1) helps near convergence.
+
+Re-designed for the MXU rather than translated:
+
+- HOST (symbolic, at ``setup``): build the pattern of
+  K2 = [[-Θ-Rp, Aᵀ], [A, Rd]] over N = n+m nodes; nodes whose degree
+  marks them dense are ordered LAST (the CHOLMOD-style dense-row
+  deferral), the remainder is RCM-ordered; the permuted pattern is cut
+  into (B, B) tiles and run through the shared tile-granular symbolic
+  elimination (kkt/sparse.py:symbolic_schedule), emitting a STATIC
+  per-block-column schedule.
+- DEVICE (numeric, at ``update``): one ``lax.fori_loop`` over block
+  columns computing a **block LDLᵀ with full (B, B) pivot blocks**:
+  quasi-definiteness makes every Schur-complement diagonal block
+  quasi-definite, hence nonsingular under ANY symmetric permutation
+  (Vanderbei 1995) — so the factorization is branchless: invert the
+  pivot block (LU), form L tiles by GEMM, scatter right-looking
+  ``-L_a D L_bᵀ`` updates. No scalar sparse ops, no dynamic pivoting.
+- ``solve`` is blocked forward substitution (unit block-lower), a
+  batched block-diagonal multiply by D⁻¹, and blocked backward
+  substitution, followed by the shared iterative-refinement sweeps on
+  the true augmented system.
+
+Falls back to the dense K2 backend when tiling gives no advantage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import KKTBackend
+from .dense_ldl import DenseK2Backend, DenseK2State
+from .sparse import symbolic_schedule
+
+
+def dense_threshold(dim: int) -> float:
+    """A column of A with >= this many nonzeros (out of ``dim``) counts as
+    dense: it produces a ~nnz² clique of fill under elimination, which at
+    40% of the dimension stops being 'sparse plus exceptions'."""
+    return max(32.0, 0.4 * dim)
+
+
+def k2_tile_plan(A_np: np.ndarray, block: int, gate: float = 0.5):
+    """Host symbolic phase for the augmented system.
+
+    Returns None if tiling gives no advantage, else a dict with the node
+    permutation (dense-degree nodes last, RCM on the rest) and the padded
+    static tile schedule."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    m, n = A_np.shape
+    N = n + m
+    Apat = sp.csr_matrix((np.abs(A_np) > 0).astype(np.int32))
+    K2 = sp.bmat(
+        [[sp.eye(n, dtype=np.int32, format="csr"), Apat.T],
+         [Apat, sp.eye(m, dtype=np.int32, format="csr")]],
+        format="csr")
+
+    # Dense-node deferral: a column (row) of A touching a large fraction
+    # of its dimension would explode RCM bandwidth and tile fill; order
+    # such nodes last so their fill stays in the trailing block columns
+    # (the CHOLMOD dense-row deferral, re-cast at node granularity).
+    colnnz = Apat.getnnz(axis=0)
+    rownnz = Apat.getnnz(axis=1)
+    dense_x = np.flatnonzero(colnnz >= dense_threshold(m))
+    dense_y = n + np.flatnonzero(rownnz >= dense_threshold(n))
+    dense_nodes = np.concatenate([dense_x, dense_y])
+    if len(dense_nodes) > 0.1 * N:
+        dense_nodes = np.empty(0, np.int64)
+    sparse_nodes = np.setdiff1d(np.arange(N), dense_nodes,
+                                assume_unique=True)
+    sub = K2[sparse_nodes][:, sparse_nodes].tocsr()
+    psub = np.asarray(reverse_cuthill_mckee(sub, symmetric_mode=True))
+    perm = np.concatenate([sparse_nodes[psub],
+                           dense_nodes]).astype(np.int64)
+
+    nbr = -(-N // block)
+    Kp = K2[perm][:, perm].tocoo()
+    sched = symbolic_schedule(Kp.row // block, Kp.col // block, nbr, gate)
+    if sched is None:
+        return None
+    sched["perm"] = perm
+    sched["N"] = N
+    return sched
+
+
+class SparseK2State(NamedTuple):
+    """Static tile schedule + numeric factors for the permuted K2.
+
+    ``T`` holds all (B, B) tiles of the filled lower-triangular pattern
+    plus one trailing dummy tile absorbing masked scatter traffic. After
+    ``update``, diagonal tiles hold the (B, B) pivot blocks D_j,
+    subdiagonal tiles hold block-unit-lower L tiles, and ``Dinv`` the
+    explicit pivot-block inverses.
+    """
+
+    A: jnp.ndarray            # (m, n) original constraint matrix
+    nodes: jnp.ndarray        # (nbr+1, B) int32 node id per lane (pad >= N)
+    theta_reg: jnp.ndarray    # (n,)  Θ⁻¹ + Rp
+    regD: jnp.ndarray         # (m,)
+    scale: jnp.ndarray        # (ext_len,) Jacobi scale per node id
+    T: jnp.ndarray            # (ntiles+1, B, B) tile store
+    Dinv: jnp.ndarray         # (nbr, B, B) pivot-block inverses
+    col_ids: jnp.ndarray      # (nbr, cmax) subdiag tile ids (dummy-padded)
+    col_blkrows: jnp.ndarray  # (nbr, cmax) block-row index (nbr = dummy)
+    u_a: jnp.ndarray          # (nbr, umax) source position a in col list
+    u_b: jnp.ndarray          # (nbr, umax) source position b
+    u_tgt: jnp.ndarray        # (nbr, umax) target tile id (dummy-padded)
+
+
+@dataclasses.dataclass(frozen=True)
+class SparseK2Backend(KKTBackend):
+    """K2 via dense-last + RCM ordered tile-granular block LDLᵀ."""
+
+    name = "sparse-ldl"
+    systems = ("K2",)
+    block: int = 64
+    jacobi_scale: bool = True
+    # Experimental: the explicit pivot-block inverses couple lanes with
+    # κ(block)·eps forward error — under the structured Θ patterns of a
+    # real IPM trajectory (unlike random-Θ stress tests, which pass to
+    # machine precision at spans 1e±12 with 2 refinement sweeps) this
+    # stalls HSD/MPC around 1e-4 gaps. The production dense-column path
+    # is kkt/splitting.py (SMW over all-SPD tiled Cholesky pieces).
+    experimental = True
+
+    def _dense(self) -> DenseK2Backend:
+        return DenseK2Backend(refinement_steps=self.refinement_steps)
+
+    def arithmetic(self, state) -> str:
+        return str(state.A.dtype)
+
+    def linear_system(self) -> str:
+        return "Augmented system (K2), tiled block LDL^T"
+
+    # -- host symbolic ----------------------------------------------------
+    def setup(self, A: jnp.ndarray):
+        A_np = np.asarray(A)
+        m, n = A_np.shape
+        plan = k2_tile_plan(A_np, self.block)
+        if plan is None:
+            return self._dense().setup(A)
+        B = self.block
+        nbr = plan["nbr"]
+        N = plan["N"]
+        dt = A.dtype
+        # Unique node ids for every lane incl. padding and the dummy
+        # block row (row nbr): padding ids N, N+1, ... keep diagonal
+        # detection (node_r == node_c) exact per lane.
+        ext_len = (nbr + 1) * B
+        node_ids = np.concatenate(
+            [plan["perm"], N + np.arange(ext_len - N)]).astype(np.int32)
+        return SparseK2State(
+            A=A,
+            nodes=jnp.asarray(node_ids.reshape(nbr + 1, B)),
+            theta_reg=jnp.ones(n, dt),
+            regD=jnp.ones(m, dt),
+            scale=jnp.ones(ext_len, dt),
+            T=jnp.zeros((plan["ntiles"] + 1, B, B), dt),
+            Dinv=jnp.zeros((nbr, B, B), dt),
+            col_ids=jnp.asarray(plan["col_ids"]),
+            col_blkrows=jnp.asarray(plan["col_blkrows"]),
+            u_a=jnp.asarray(plan["u_a"]),
+            u_b=jnp.asarray(plan["u_b"]),
+            u_tgt=jnp.asarray(plan["u_tgt"]),
+        )
+
+    # -- device numeric ---------------------------------------------------
+    def update(self, state, theta_inv, regP, regD):
+        if isinstance(state, DenseK2State):
+            return self._dense().update(state, theta_inv, regP, regD)
+        st = state
+        m, n = st.A.shape
+        N = n + m
+        nbr = st.Dinv.shape[0]
+        B = self.block
+        ntiles_p1 = st.T.shape[0]
+        dt = st.A.dtype
+        theta_reg = theta_inv + regP
+
+        # Zero-padded A for out-of-range gathers (row m / col n are 0).
+        Ag = jnp.zeros((m + 1, n + 1), dt).at[:m, :n].set(st.A)
+        # Symmetric Jacobi scaling: factor S K2 S with S = |diag(K2)|^-½,
+        # whose diagonal is exactly ±1 — the standard stabilizer for
+        # unpivoted quasi-definite LDLᵀ under the extreme diagonal spreads
+        # of late IPM iterations (Θ⁻¹ entries 1e-10..1e10).
+        ext_len = (nbr + 1) * B
+        if self.jacobi_scale:
+            scale = jnp.concatenate(
+                [1.0 / jnp.sqrt(theta_reg), 1.0 / jnp.sqrt(regD),
+                 jnp.ones(ext_len - N, dt)])
+            # Scaled diagonal: -1 on x nodes, +1 on y nodes and padding
+            # lanes (keeps padded pivots regular).
+            diagval = jnp.concatenate(
+                [jnp.full(n, -1.0, dt), jnp.ones(ext_len - n, dt)])
+        else:
+            scale = jnp.ones(ext_len, dt)
+            diagval = jnp.concatenate(
+                [-theta_reg, regD, jnp.ones(ext_len - N, dt)])
+
+        def tile_vals(rn, cn):
+            """K2 entries for row nodes rn (..., B) × col nodes cn (B,)."""
+            r_y = (rn >= n) & (rn < N)
+            r_x = rn < n
+            c_y = (cn >= n) & (cn < N)
+            c_x = cn < n
+            ar = jnp.where(r_y, rn - n, m)          # A row of a y node
+            ac = jnp.where(c_x, cn, n)              # A col of an x node
+            v_yx = Ag[ar[..., :, None], ac[None, :]]
+            ar2 = jnp.where(c_y, cn - n, m)
+            ac2 = jnp.where(r_x, rn, n)
+            v_xy = Ag[ar2[None, :], ac2[..., :, None]]
+            diag = (rn[..., :, None] == cn) * diagval[rn][..., :, None]
+            off = (jnp.where(r_y[..., :, None] & c_x, v_yx, 0.0)
+                   + jnp.where(r_x[..., :, None] & c_y, v_xy, 0.0))
+            return off * scale[rn][..., :, None] * scale[cn] + diag
+
+        # ---- assemble K2 tiles column by column ------------------------
+        def assemble(j, T):
+            cn = st.nodes[j]                          # (B,)
+            rn = st.nodes[st.col_blkrows[j]]          # (cmax, B)
+            T = T.at[st.col_ids[j]].set(tile_vals(rn, cn))
+            return T.at[j].set(tile_vals(cn, cn))
+
+        T = jax.lax.fori_loop(0, nbr, assemble,
+                              jnp.zeros((ntiles_p1, B, B), dt))
+
+        # ---- right-looking tiled block LDLᵀ -----------------------------
+        eye = jnp.eye(B, dtype=dt)
+
+        def factor(j, carry):
+            T, Dinv, ok = carry
+            ids = st.col_ids[j]
+            valid = (ids < ntiles_p1 - 1)[:, None, None]
+            Dj = T[j]
+            Dj_inv = jnp.linalg.inv(Dj)
+            ok_j = jnp.all(jnp.isfinite(Dj_inv))
+            Dj_inv = jnp.where(ok_j, Dj_inv, eye)
+            Sub = T[ids]                              # (cmax, B, B)
+            Lsub = jnp.einsum("ubc,cd->ubd", Sub, Dj_inv)
+            Lsub = jnp.where(valid & ok_j, Lsub, 0.0)
+            T = T.at[ids].set(jnp.where(valid, Lsub, T[ids]))
+            Dinv = Dinv.at[j].set(Dj_inv)
+            # Right-looking updates: T[tgt] -= L_a D_j L_bᵀ.
+            La = Lsub[st.u_a[j]]                      # (umax, B, B)
+            LbD = jnp.einsum("ubc,cd->ubd", Lsub[st.u_b[j]], Dj)
+            upd = -jnp.einsum("ubc,udc->ubd", La, LbD)
+            T = T.at[st.u_tgt[j]].add(upd)            # dummy absorbs pads
+            return T, Dinv, ok & ok_j
+
+        T, Dinv, ok = jax.lax.fori_loop(
+            0, nbr, factor, (T, st.Dinv, jnp.asarray(True)))
+        new = SparseK2State(A=st.A, nodes=st.nodes, theta_reg=theta_reg,
+                            regD=regD, scale=scale, T=T, Dinv=Dinv,
+                            col_ids=st.col_ids, col_blkrows=st.col_blkrows,
+                            u_a=st.u_a, u_b=st.u_b, u_tgt=st.u_tgt)
+        return new, ok
+
+    # -- solve ------------------------------------------------------------
+    def _base_solve(self, st: SparseK2State, xi_p, xi_d):
+        m, n = st.A.shape
+        N = n + m
+        nbr, B, _ = st.Dinv.shape
+        dt = st.A.dtype
+        ext_len = (nbr + 1) * B
+        # Scaled system: (S K2 S)(S⁻¹ sol) = S rhs.
+        rhs_ext = (jnp.zeros(ext_len, dt).at[:n].set(xi_d)
+                   .at[n:N].set(xi_p)) * st.scale
+        rhs_b = rhs_ext[st.nodes]                     # (nbr+1, B)
+
+        # Forward: L u = rhs (block-unit-lower; u_j is final once reached).
+        def fwd(j, u):
+            contrib = jnp.einsum("ubc,c->ub", st.T[st.col_ids[j]], u[j])
+            return u.at[st.col_blkrows[j]].add(-contrib)
+
+        u = jax.lax.fori_loop(0, nbr, fwd, rhs_b)
+        # Block-diagonal: v = D⁻¹ u.
+        v = jnp.einsum("jbc,jc->jb", st.Dinv, u[:nbr])
+
+        # Backward: Lᵀ x = v.
+        def bwd(t, x):
+            j = nbr - 1 - t
+            xg = x[st.col_blkrows[j]]                 # (cmax, B)
+            acc = jnp.einsum("ubc,ub->c", st.T[st.col_ids[j]], xg)
+            return x.at[j].set(v[j] - acc)
+
+        x = jax.lax.fori_loop(0, nbr, bwd, jnp.zeros((nbr + 1, B), dt))
+        sol_ext = jnp.zeros(ext_len, dt).at[
+            st.nodes[:nbr].ravel()].set(x[:nbr].ravel()) * st.scale
+        return sol_ext[:n], sol_ext[n:N]
+
+    def solve(self, state, xi_p, xi_d):
+        if isinstance(state, DenseK2State):
+            return self._dense().solve(state, xi_p, xi_d)
+        dx, dy = self._base_solve(state, xi_p, xi_d)
+        return self._refine(state, xi_p, xi_d, dx, dy, self._base_solve)

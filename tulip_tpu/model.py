@@ -116,6 +116,11 @@ class Model:
             # tiled sparse 7.4 ms, dense 17.2 ms per factorize+solve;
             # crossover vs dense is at m ≈ 2048).
             backend_name = _probe_structure(np.asarray(dat.A))
+            if backend_name == "sparse-smw":
+                # SMW's forward error at late-IPM Θ needs two refinement
+                # sweeps on the true system to hold 1e-8 end-to-end
+                # (measured: 25-27 IPM iters at <=1 sweep vs 8 at 2).
+                refinement = max(refinement, 2)
         if backend_name is None and params.KKT.System in (None, "K1") \
                 and dtype == np.float32:
             import jax
@@ -214,14 +219,31 @@ class Model:
 
 
 def _probe_structure(A_np: np.ndarray) -> Optional[str]:
-    """Pick a structure-exploiting K1 backend for a large problem, or None
-    for the dense default. Banded when RCM finds a narrow band (pure
-    staircases), else tiled-sparse when the filled tile pattern is sparse
-    (cyclic/corner coupling); both backends re-fall-back internally."""
-    from .kkt.banded import rcm_bandwidth
+    """Pick a structure-exploiting backend for a large problem, or None
+    for the dense default.
+
+    Order (cheapest signal first): dense columns → tiled sparse Cholesky
+    + SMW splitting (a dense column fills K1 = AΘAᵀ completely; the
+    role the reference covers by defaulting to CHOLMOD-on-K2,
+    reference: src/KKT/KKT.jl:134-141); else banded when RCM finds a
+    narrow band (pure staircases); else tiled-sparse K1 when the filled
+    tile pattern is sparse (cyclic/corner coupling). All three backends
+    re-fall-back internally."""
     from .kkt.sparse import tile_plan
+    from .kkt.sparse_ldl import dense_threshold
 
     m = A_np.shape[0]
+    colnnz = (np.abs(A_np) > 0).sum(axis=0)
+    dense_cols = colnnz >= dense_threshold(m)
+    if bool(np.any(dense_cols)):
+        As = A_np.copy()
+        As[:, np.flatnonzero(dense_cols)] = 0.0
+        if tile_plan(As, 128) is not None:
+            return "sparse-smw"
+        return None  # dense cols and no residual sparsity: dense K1
+
+    from .kkt.banded import rcm_bandwidth
+
     _, bw = rcm_bandwidth(A_np)
     bw_block = max(128, -(-max(bw, 1) // 128) * 128)
     if 2 * bw_block <= m // 4:
