@@ -1,0 +1,78 @@
+"""Large-scale end-to-end solves (m ≥ 2048) through the FULL pipeline:
+presolve → auto-probe → structured backend → 1e-8 → postsolve, objective
+vs HiGHS. This is the auto-probe's design regime, which smaller tests
+never reach (reference analogue: full-Netlib robustness through the
+solver, app/precompile_app.jl:12-17).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import tulip_tpu as tlp
+from tulip_tpu.status import TerminationStatus
+
+from golden_large import (block_angular_lp, highs_optimum, load_model,
+                          multiperiod_lp, staircase_lp)
+
+
+def _solve_and_check(A, b, c, u, expect_backend, name, rtol=1e-7):
+    mod = load_model(A, b, c, u, name=name)
+    st = mod.optimize()
+    assert st == TerminationStatus.OPTIMAL, name
+    assert mod.kkt_backend.name == expect_backend, (
+        f"{name}: probe chose {mod.kkt_backend.name}, "
+        f"expected {expect_backend}")
+    z = tlp.get_attribute(mod, "ObjectiveValue")
+    z_ref = highs_optimum(A, b, c, u)
+    assert abs(z - z_ref) <= rtol * max(1.0, abs(z_ref)), (
+        f"{name}: {z} vs HiGHS {z_ref}")
+    return mod
+
+
+@pytest.mark.slow
+def test_large_staircase_banded():
+    """m=2048 pure staircase → banded RCM block-tridiagonal backend."""
+    A, b, c, u = staircase_lp(2048)
+    _solve_and_check(A, b, c, u, "banded", "stair2048")
+
+
+@pytest.mark.slow
+def test_large_scattered_coupling_sparse():
+    """m=2048 staircase with random long-range stage couplings: scattered
+    off-band blocks defeat a band ordering → tiled sparse Cholesky."""
+    from golden_large import scattered_coupling_lp
+
+    A, b, c, u = scattered_coupling_lp(2048)
+    _solve_and_check(A, b, c, u, "sparse", "scatter2048")
+
+
+@pytest.mark.slow
+def test_large_dense_column_smw():
+    """m=2048 staircase + global linking column → SMW splitting."""
+    A, b, c, u = staircase_lp(2048, dense_cols=1)
+    _solve_and_check(A, b, c, u, "sparse-smw", "densecol2048")
+
+
+@pytest.mark.slow
+def test_large_block_angular_smw():
+    """m=2032 two-stage stochastic block-angular: first-stage coupling
+    columns are dense → SMW splitting; scenario blocks tile trivially."""
+    A, b, c, u = block_angular_lp()
+    _solve_and_check(A, b, c, u, "sparse-smw", "blockang2k")
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(os.environ.get("TULIP_RUN_XL") != "1",
+                    reason="m=8192 solve + HiGHS oracle ≈ 7 min; "
+                           "set TULIP_RUN_XL=1 to run")
+def test_xl_multiperiod_banded():
+    """m=8192 multiperiod chain (measured: ours 127 s vs HiGHS 270 s on
+    the CPU test host, parity 7e-10); also asserts host-side phases stay
+    negligible at scale."""
+    A, b, c, u = multiperiod_lp(8192)
+    mod = _solve_and_check(A, b, c, u, "banded", "multiperiod8192")
+    # Host-side O(nnz) phases must not balloon with problem size.
+    assert mod.timings["postsolve"] < 5.0
+    assert mod.timings["extract"] < 5.0

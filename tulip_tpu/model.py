@@ -34,6 +34,7 @@ class Model:
         self.solution: Optional[Solution] = None
         self.solve_time = 0.0
         self.barrier_iterations = 0
+        self.kkt_backend = None  # backend instance used by the last solve
         # Per-phase wall-clock timings (the reference's TimerOutputs
         # analogue, reference: src/IPM/HSD/HSD.jl:22, @timeit annotations):
         # presolve / standard_form / ipm / extract / postsolve seconds.
@@ -141,6 +142,10 @@ class Model:
             # double-double-residual refinement.
             backend_name = "extended"
         backend = make_backend(backend_name, params.KKT.System, refinement)
+        # Introspection: which linear solver actually ran (the reference
+        # prints this in the solver header, src/IPM/HSD/HSD.jl:214-230;
+        # kept on the model so tests can assert auto-probe decisions).
+        self.kkt_backend = backend
 
         import contextlib
         profile_ctx = contextlib.nullcontext()
