@@ -136,7 +136,36 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(tpu_rate / highs_rate, 3),
     }
+    try:
+        result.update(bench_kkt_mfu())
+    except Exception as e:  # never let the MFU probe kill the headline
+        log(f"kkt mfu probe failed: {type(e).__name__}: {e}")
     print(json.dumps(result))
+
+
+def bench_kkt_mfu(m=8192):
+    """BASELINE.json primary hardware metric: dense-K1 factorize+solve
+    GFLOP/s on one chip and % of the f32-effective MXU peak
+    (see benchmarks/mfu.py for the full backend × size table)."""
+    import os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "benchmarks"))
+    from bench_sparse import staircase
+    from mfu import chip_peak_bf16, flops_dense, measure
+    from tulip_tpu.kkt import DenseK1Backend
+
+    A = staircase(m, np.float32)
+    dt, fl, _ = measure(DenseK1Backend(inv_factor=True), A, flops_dense,
+                        iters=5)
+    peak_bf16, kind = chip_peak_bf16()
+    gfs = fl / dt / 1e9
+    out = {"kkt_dense_gflops_m8192": round(gfs, 1)}
+    if peak_bf16:
+        out["kkt_dense_pct_f32eff"] = round(100 * fl / dt / (peak_bf16 / 6),
+                                            2)
+    log(f"kkt mfu (dense m={m}): {gfs:.0f} GFLOP/s on {kind}")
+    return out
 
 
 if __name__ == "__main__":

@@ -1,0 +1,196 @@
+"""KKT factorize+solve GFLOP/s per chip and MXU utilization (MFU).
+
+The BASELINE.json primary hardware metric: for each KKT backend and
+problem size, time one update (numeric factorization) + one solve on the
+default platform, count the algorithmic FLOPs the backend actually
+executes (from its own static plan), and report GFLOP/s and % of MXU
+peak.
+
+Usage: python benchmarks/mfu.py [--sizes 1024,2048,4096] [--dtype float32]
+Writes a table to stderr and JSON rows to benchmarks/mfu_results.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+
+if os.environ.get("MFU_PLATFORM"):
+    # The container's sitecustomize force-selects the TPU platform; this
+    # is the in-process override for CPU smoke runs.
+    jax.config.update("jax_platforms", os.environ["MFU_PLATFORM"])
+jax.config.update("jax_default_matmul_precision", "highest")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                 ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
+sys.path.insert(0, os.path.dirname(_HERE))   # repo root for tulip_tpu
+from bench_sparse import staircase  # noqa: E402
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# Public per-chip MXU peaks (dense matmul), FLOP/s. bf16 is the native
+# MXU rate; "highest"-precision f32 matmuls run as 6 bf16 passes
+# (bf16x3), so the effective f32 ceiling is peak_bf16 / 6.
+PEAK_BF16 = {
+    "v4": 275e12,
+    "v5 lite": 197e12, "v5e": 197e12,
+    "v5p": 459e12, "v5": 459e12,
+    "v6 lite": 918e12, "v6e": 918e12,
+}
+
+
+def chip_peak_bf16():
+    d = jax.devices()[0]
+    kind = getattr(d, "device_kind", "").lower()
+    for key, peak in PEAK_BF16.items():
+        if key in kind:
+            return peak, kind
+    return None, kind or d.platform
+
+
+# ---------------------------------------------------------------------------
+# FLOP models: algorithmic flops each backend executes for one
+# update (assembly + factorization) + one unrefined solve, derived from
+# the backend's own static plan (state array shapes).
+# ---------------------------------------------------------------------------
+
+def flops_dense(state, m, n):
+    assemble = 2 * m * m * n
+    chol = m ** 3 / 3
+    invfac = m ** 3 / 3            # triangular inverse (inv_factor=True)
+    solve = 4 * m * m              # two GEMVs with L^-1 / L^-T
+    return assemble + chol + invfac + solve
+
+
+def flops_banded(state, m, n):
+    nb, bw, _ = state.L.shape
+    assemble = 4 * nb * bw * bw * n          # D_i and E_i blocks
+    factor = nb * (bw ** 3 / 3 + bw ** 3 + 2 * bw ** 3)
+    solve = nb * 8 * bw * bw
+    return assemble + factor + solve
+
+
+def flops_sparse(state, m, n):
+    nbr, B, _ = state.Ap.shape
+    cmax = state.col_ids.shape[1]
+    umax = state.u_a.shape[1]
+    assemble = nbr * (cmax + 1) * 2 * B * B * n
+    factor = nbr * (B ** 3 / 3 + cmax * B ** 3 + umax * 2 * B ** 3)
+    solve = 2 * nbr * (1 + cmax) * 2 * B * B
+    return assemble + factor + solve
+
+
+def flops_smw(state, m, n):
+    inner = flops_sparse(state.inner, m, n)
+    k = state.U.shape[1]
+    nbr, B, _ = state.inner.Ap.shape
+    cmax = state.inner.col_ids.shape[1]
+    extra_solves = k * 2 * nbr * (1 + cmax) * 2 * B * B   # V = B^-1 U
+    small = 2 * m * k * k + k ** 3 / 3
+    return inner + extra_solves + small + 4 * m * k
+
+
+def measure(be, A, flops_fn, iters=10):
+    m, n = A.shape
+    rng = np.random.default_rng(1)
+    theta_inv = jnp.asarray(10.0 ** rng.uniform(-2, 2, n), A.dtype)
+    regP = jnp.full(n, 1e-6, A.dtype)
+    regD = jnp.full(m, 1e-6, A.dtype)
+    xi_p = jnp.asarray(rng.standard_normal(m), A.dtype)
+    xi_d = jnp.asarray(rng.standard_normal(n), A.dtype)
+    st = be.setup(jnp.asarray(A))
+
+    @jax.jit
+    def step(st, ti):
+        st2, ok = be.update(st, ti, regP, regD)
+        dx, dy = be.solve_unrefined(st2, xi_p, xi_d)
+        return ok, dx, dy
+
+    out = jax.block_until_ready(step(st, theta_inv))   # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(st, theta_inv)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return dt, flops_fn(st, m, n), type(st).__name__
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="1024,2048,4096,8192")
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
+    dtype = np.dtype(args.dtype).type
+
+    from tulip_tpu.kkt import (BandedK1Backend, DenseK1Backend,
+                               SparseK1Backend, SplitK1Backend)
+
+    peak_bf16, kind = chip_peak_bf16()
+    log(f"device: {kind}  platform: {jax.devices()[0].platform}  "
+        f"peak_bf16: {peak_bf16 and peak_bf16/1e12} TFLOP/s  "
+        f"f32-effective: {peak_bf16 and peak_bf16/6e12} TFLOP/s")
+
+    rows = []
+    hdr = (f"{'backend':>12} {'m':>6} {'ms':>9} {'GFLOP':>9} "
+           f"{'GFLOP/s':>9} {'%bf16':>7} {'%f32eff':>8}")
+    log(hdr)
+    for m in sizes:
+        A = staircase(m, dtype)
+        Adc = np.array(A)  # dense-column variant for the SMW backend
+        Adc[:, 7] = (np.random.default_rng(9)
+                     .standard_normal(m).astype(dtype) * 0.5)
+        cases = [
+            ("dense", DenseK1Backend(inv_factor=True), A, flops_dense),
+            ("banded", BandedK1Backend(min_block=128), A, flops_banded),
+            ("sparse-128", SparseK1Backend(block=128), A, flops_sparse),
+            ("sparse-smw", SplitK1Backend(block=128), Adc, flops_smw),
+        ]
+        for name, be, Ax, ffn in cases:
+            try:
+                dt, fl, stname = measure(be, Ax, ffn, iters=args.iters)
+            except Exception as e:
+                log(f"{name:>12} {m:>6}  FAILED ({type(e).__name__}: {e})")
+                continue
+            if ("Dense" in stname) != (name == "dense"):
+                log(f"{name:>12} {m:>6}  fell back to {stname}; skipped")
+                continue
+            gfs = fl / dt / 1e9
+            pb = 100 * fl / dt / peak_bf16 if peak_bf16 else float("nan")
+            pf = 6 * pb if peak_bf16 else float("nan")
+            log(f"{name:>12} {m:>6} {dt*1e3:>9.2f} {fl/1e9:>9.2f} "
+                f"{gfs:>9.1f} {pb:>7.2f} {pf:>8.2f}")
+            rows.append(dict(backend=name, m=m, dtype=args.dtype,
+                             ms=round(dt * 1e3, 3),
+                             gflop=round(fl / 1e9, 3),
+                             gflops=round(gfs, 2),
+                             pct_mxu_bf16=None if not peak_bf16
+                             else round(pb, 3),
+                             pct_mxu_f32eff=None if not peak_bf16
+                             else round(pf, 3),
+                             device=kind))
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "mfu_results.json")
+    with open(out_path, "w") as f:
+        json.dump(rows, f, indent=1)
+    log(f"wrote {out_path}")
+    print(json.dumps(rows))
+
+
+if __name__ == "__main__":
+    main()

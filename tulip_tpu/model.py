@@ -154,6 +154,50 @@ class Model:
             profile_ctx = jax.profiler.trace(params.ProfileDir)
 
         algo = params.IPM.Algorithm.upper()
+        try:
+            state = self._run_ipm(algo, dat, backend, ipm_opts, params,
+                                  profile_ctx)
+        except KeyboardInterrupt:
+            # User interrupt: keep whatever phase state exists, report
+            # UNKNOWN instead of crashing (reference:
+            # src/IPM/HSD/HSD.jl:330-333 InterruptException -> Trm_Unknown).
+            self.status = TerminationStatus.UNKNOWN
+            self.solve_time = time.time() - t0
+            return self.status
+        except Exception as e:
+            if _is_oom(e):
+                # Device memory exhausted mid-solve (reference:
+                # HSD.jl:325-328 OutOfMemoryError -> Trm_MemoryLimit).
+                self.status = TerminationStatus.MEMORY_LIMIT
+                self.solve_time = time.time() - t0
+                return self.status
+            raise
+
+        self.solver_state = state
+        self.barrier_iterations = int(state.niter)
+
+        # Extract solution in (reduced) original space.
+        t_ = time.time()
+        sol_inner = Solution(pb_.ncon, pb_.nvar)
+        _extract_solution(sol_inner, pb_, state, n_struct)
+        self.timings["extract"] = time.time() - t_
+
+        if params.Presolve.Level > 0:
+            t_ = time.time()
+            sol_outer = Solution(pb.ncon, pb.nvar)
+            postsolve(sol_outer, sol_inner, self.presolve_data)
+            self.timings["postsolve"] = time.time() - t_
+            self.solution = sol_outer
+        else:
+            self.solution = sol_inner
+        _validate_certificates(pb, self.solution)
+
+        self.status = TerminationStatus(int(state.status))
+        self.solve_time = time.time() - t0
+        return self.status
+
+    def _run_ipm(self, algo, dat, backend, ipm_opts, params, profile_ctx):
+        import time
         if algo == "HSD":
             opts = HSDOptions(
                 TolerancePFeas=ipm_opts.TolerancePFeas,
@@ -198,29 +242,15 @@ class Model:
             self.timings["ipm"] = time.time() - t_
         else:
             raise ValueError(f"Unknown IPM algorithm {params.IPM.Algorithm!r}")
+        return state
 
-        self.solver_state = state
-        self.barrier_iterations = int(state.niter)
 
-        # Extract solution in (reduced) original space.
-        t_ = time.time()
-        sol_inner = Solution(pb_.ncon, pb_.nvar)
-        _extract_solution(sol_inner, pb_, state, n_struct)
-        self.timings["extract"] = time.time() - t_
-
-        if params.Presolve.Level > 0:
-            t_ = time.time()
-            sol_outer = Solution(pb.ncon, pb.nvar)
-            postsolve(sol_outer, sol_inner, self.presolve_data)
-            self.timings["postsolve"] = time.time() - t_
-            self.solution = sol_outer
-        else:
-            self.solution = sol_inner
-        _validate_certificates(pb, self.solution)
-
-        self.status = TerminationStatus(int(state.status))
-        self.solve_time = time.time() - t0
-        return self.status
+def _is_oom(e: Exception) -> bool:
+    """Device/host memory exhaustion, in its XLA spellings."""
+    if isinstance(e, MemoryError):
+        return True
+    msg = str(e).upper()
+    return "RESOURCE_EXHAUSTED" in msg or "OUT OF MEMORY" in msg
 
 
 def _probe_structure(A_np: np.ndarray) -> Optional[str]:
@@ -270,22 +300,25 @@ def _validate_certificates(pb: ProblemData, sol: Solution,
     at all). The reference reports such junk rays as certificates
     (reference: dominated_column.jl:46); we report UNKNOWN instead.
     """
+    if not (sol.is_primal_ray or sol.is_dual_ray):
+        return
+    # Vectorized over the COO export: flat per-solve host cost at any
+    # problem size (the bincount pattern of _extract_solution).
+    I, J, V = pb.to_coo()
+    lcon = np.asarray(pb.lcon, dtype=float)
+    ucon = np.asarray(pb.ucon, dtype=float)
+    lvar = np.asarray(pb.lvar, dtype=float)
+    uvar = np.asarray(pb.uvar, dtype=float)
+
     if sol.is_primal_ray:
         d = sol.x
         nrm = max(1.0, float(np.max(np.abs(d))) if len(d) else 1.0)
-        ok = True
-        for i, row in enumerate(pb.arows):
-            ad = sum(aij * d[j] for j, aij in row.items())
-            lo, hi = pb.lcon[i], pb.ucon[i]
-            if np.isfinite(lo) and ad < -tol * nrm:
-                ok = False
-            if np.isfinite(hi) and ad > tol * nrm:
-                ok = False
-        for j in range(pb.nvar):
-            if np.isfinite(pb.lvar[j]) and d[j] < -tol * nrm:
-                ok = False
-            if np.isfinite(pb.uvar[j]) and d[j] > tol * nrm:
-                ok = False
+        ad = (np.bincount(I, V * d[J], minlength=pb.ncon)
+              if len(I) else np.zeros(pb.ncon))
+        ok = not (bool(np.any(np.isfinite(lcon) & (ad < -tol * nrm)))
+                  or bool(np.any(np.isfinite(ucon) & (ad > tol * nrm)))
+                  or bool(np.any(np.isfinite(lvar) & (d < -tol * nrm)))
+                  or bool(np.any(np.isfinite(uvar) & (d > tol * nrm))))
         sense = 1.0 if pb.objsense else -1.0
         if sense * float(np.dot(np.asarray(pb.obj), d)) >= -tol * nrm:
             ok = False
@@ -299,28 +332,21 @@ def _validate_certificates(pb: ProblemData, sol: Solution,
         nrm = max(1.0,
                   float(np.max(np.abs(y))) if len(y) else 1.0,
                   float(np.max(np.abs(s))) if len(s) else 1.0)
-        resid = s.copy()
-        for i, row in enumerate(pb.arows):
-            for j, aij in row.items():
-                resid[j] += aij * y[i]
+        resid = s + (np.bincount(J, V * y[I], minlength=pb.nvar)
+                     if len(I) else 0.0)
         ok = bool(np.max(np.abs(resid)) <= tol * nrm) if len(resid) else True
-        val = 0.0
-        for i in range(pb.ncon):
-            lo, hi = pb.lcon[i], pb.ucon[i]
-            if sol.y_lower[i] > tol * nrm and not np.isfinite(lo):
-                ok = False
-            if sol.y_upper[i] > tol * nrm and not np.isfinite(hi):
-                ok = False
-            val += (sol.y_lower[i] * (lo if np.isfinite(lo) else 0.0)
-                    - sol.y_upper[i] * (hi if np.isfinite(hi) else 0.0))
-        for j in range(pb.nvar):
-            lo, hi = pb.lvar[j], pb.uvar[j]
-            if sol.s_lower[j] > tol * nrm and not np.isfinite(lo):
-                ok = False
-            if sol.s_upper[j] > tol * nrm and not np.isfinite(hi):
-                ok = False
-            val += (sol.s_lower[j] * (lo if np.isfinite(lo) else 0.0)
-                    - sol.s_upper[j] * (hi if np.isfinite(hi) else 0.0))
+        if (bool(np.any((sol.y_lower > tol * nrm) & ~np.isfinite(lcon)))
+                or bool(np.any((sol.y_upper > tol * nrm)
+                               & ~np.isfinite(ucon)))
+                or bool(np.any((sol.s_lower > tol * nrm)
+                               & ~np.isfinite(lvar)))
+                or bool(np.any((sol.s_upper > tol * nrm)
+                               & ~np.isfinite(uvar)))):
+            ok = False
+        val = (float(sol.y_lower @ np.where(np.isfinite(lcon), lcon, 0.0))
+               - float(sol.y_upper @ np.where(np.isfinite(ucon), ucon, 0.0))
+               + float(sol.s_lower @ np.where(np.isfinite(lvar), lvar, 0.0))
+               - float(sol.s_upper @ np.where(np.isfinite(uvar), uvar, 0.0)))
         if val <= tol * nrm:
             ok = False
         if not ok:

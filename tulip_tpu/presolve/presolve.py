@@ -80,11 +80,16 @@ class PresolveData:
         self.lcol = list(pb.lvar)
         self.ucol = list(pb.uvar)
 
-        # Dual bounds (reference: Presolve.jl:142-154).
+        # Row dual bounds, strengthened from column singletons before the
+        # dominated-column scan (reference: Presolve.jl:142-154, 648-703).
+        # The reference also initializes column dual bounds ls/us
+        # (Presolve.jl:145-153) but never reads them — the one case their
+        # wiring would add (a FREE column singleton pinning its row dual
+        # exactly) is unreachable because the free-column-singleton rule
+        # eliminates such columns earlier in the same pass — so they are
+        # deliberately not carried here.
         self.ly = [0.0 if u == INF else -INF for u in self.urow]
         self.uy = [0.0 if l == -INF else INF for l in self.lrow]
-        self.ls = [0.0 if u == INF else -INF for u in self.ucol]
-        self.us = [0.0 if l == -INF else INF for l in self.lcol]
 
         self.row_scaling = np.ones(self.nrow)
         self.col_scaling = np.ones(self.ncol)
@@ -728,22 +733,32 @@ def postsolve(sol: Solution, sol_: Solution, ps: PresolveData) -> None:
     sol.s_lower[:] = 0.0
     sol.s_upper[:] = 0.0
 
-    for j_, j in enumerate(ps.old_var_idx):
-        sol.x[j] = sol_.x[j_] / ps.col_scaling[j_]
-        sol.s_lower[j] = sol_.s_lower[j_] * ps.col_scaling[j_]
-        sol.s_upper[j] = sol_.s_upper[j_] * ps.col_scaling[j_]
-    for i_, i in enumerate(ps.old_con_idx):
-        sol.y_lower[i] = sol_.y_lower[i_] / ps.row_scaling[i_]
-        sol.y_upper[i] = sol_.y_upper[i_] / ps.row_scaling[i_]
+    # Unscale + scatter reduced-space values to original indices
+    # (vectorized: flat per-solve host cost, like _extract_reduced_arrays).
+    vidx = np.asarray(ps.old_var_idx, dtype=np.intp)
+    cidx = np.asarray(ps.old_con_idx, dtype=np.intp)
+    # Before extraction the scaling vectors still have original length
+    # (all ones); after extraction they have reduced length — either way
+    # entry k scales reduced index k.
+    cs = ps.col_scaling[:vidx.size]
+    rs = ps.row_scaling[:cidx.size]
+    if vidx.size:
+        sol.x[vidx] = np.asarray(sol_.x)[:vidx.size] / cs
+        sol.s_lower[vidx] = np.asarray(sol_.s_lower)[:vidx.size] * cs
+        sol.s_upper[vidx] = np.asarray(sol_.s_upper)[:vidx.size] * cs
+    if cidx.size:
+        sol.y_lower[cidx] = np.asarray(sol_.y_lower)[:cidx.size] / rs
+        sol.y_upper[cidx] = np.asarray(sol_.y_upper)[:cidx.size] / rs
 
     for op in reversed(ps.ops):
         op.postsolve(sol)
 
-    for i, row in enumerate(ps.pb0.arows):
-        ax = 0.0
-        for j, aij in row.items():
-            ax += aij * sol.x[j]
-        sol.Ax[i] = ax
+    # Row activities over the ORIGINAL matrix (vectorized COO bincount).
+    I, J, V = ps.pb0.to_coo()
+    if len(I):
+        sol.Ax[:] = np.bincount(I, V * sol.x[J], minlength=ps.pb0.ncon)
+    else:
+        sol.Ax[:] = 0.0
 
 
 class ReducedArrays:
