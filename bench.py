@@ -116,9 +116,11 @@ def main():
     import os
 
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
+
+    from tulip_tpu.utils import xla_cache_dir
+    jax.config.update("jax_compilation_cache_dir", xla_cache_dir(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache")))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     # Measured batch-size sweep on one v5e chip (48x96 LPs): 1024 -> 12.3k,

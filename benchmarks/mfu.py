@@ -23,11 +23,6 @@ if os.environ.get("MFU_PLATFORM"):
     # is the in-process override for CPU smoke runs.
     jax.config.update("jax_platforms", os.environ["MFU_PLATFORM"])
 jax.config.update("jax_default_matmul_precision", "highest")
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                 ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 import numpy as np
@@ -36,6 +31,12 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _HERE)
 sys.path.insert(0, os.path.dirname(_HERE))   # repo root for tulip_tpu
 from bench_sparse import staircase  # noqa: E402
+from tulip_tpu.utils import xla_cache_dir  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    xla_cache_dir(os.path.join(os.path.dirname(_HERE), ".jax_cache")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def log(*a):

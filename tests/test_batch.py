@@ -281,3 +281,37 @@ def test_batched_warm_resolve():
     assert np.asarray(warm.niter).mean() < np.asarray(cold.niter).mean()
     np.testing.assert_allclose(np.asarray(warm.pobj), np.asarray(cold.pobj),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_batch_linprog_bucketed_size_skew():
+    """Shape bucketing (SURVEY §7 hard-part 5): a size-skewed batch
+    (16x32 ... 64x128) groups into pad-to-next-pow2 buckets — the small
+    lanes must not be padded to the outlier's envelope — and every lane
+    still matches HiGHS."""
+    from scipy.optimize import linprog as slp
+
+    import tulip_tpu as tlp
+    from tulip_tpu.ipm.batch import bucket_dim
+
+    assert bucket_dim(16) == 16
+    assert bucket_dim(17) == 32
+    assert bucket_dim(5) == 16
+    assert bucket_dim(100) == 128
+
+    rng = np.random.default_rng(3)
+    probs, refs = [], []
+    for (m, n) in [(16, 32)] * 4 + [(24, 48), (40, 80), (64, 128)]:
+        A = rng.standard_normal((m, n))
+        u = rng.uniform(1, 4, n)
+        x0 = u * rng.uniform(0.2, 0.8, n)
+        b = A @ x0
+        c = rng.standard_normal(n)
+        bounds = list(zip(np.zeros(n), u))
+        probs.append(dict(c=c, A_eq=A, b_eq=b, bounds=bounds))
+        refs.append(slp(c, A_eq=A, b_eq=b, bounds=bounds, method="highs"))
+
+    res = tlp.batch_linprog(probs, dtype="float64", presolve=False)
+    for r, ref in zip(res, refs):
+        assert r.success, r.message
+        assert abs(r.fun - ref.fun) < 1e-6 * max(1.0, abs(ref.fun))
+        np.testing.assert_allclose(r.x, ref.x, atol=1e-5)

@@ -15,7 +15,8 @@ from tulip_tpu.kkt import (CarK1Backend, CgK1Backend, CraigK1Backend,
                            LsmrK1Backend, LsqrK1Backend,
                            MinaresK2Backend, MinresK2Backend,
                            MinresQlpK2Backend, PallasK1Backend,
-                           PallasSmallK1Backend, SqdMinresK2Backend,
+                           PallasSmallK1Backend, SparseK2Backend,
+                           SplitK1Backend, SqdMinresK2Backend,
                            SymmlqK2Backend, TricgK2Backend, make_backend)
 from tulip_tpu.kkt.dense_ldl import ldl_nopivot
 from tulip_tpu.kkt.testkit import run_ls_tests
@@ -45,6 +46,10 @@ BACKENDS = [
     TricgK2Backend(),
     SqdMinresK2Backend(),
     SymmlqK2Backend(),
+    # Structured backends dispatch through their dense fallbacks on this
+    # tiny fixture — the dispatch itself is part of the contract.
+    SplitK1Backend(block=8, refinement_steps=1),
+    SparseK2Backend(block=8, refinement_steps=1),
 ]
 
 

@@ -108,8 +108,28 @@ def get_attribute(m: Model, name: str, index: int = None):
         return m.status
     if name == "BarrierIterations":
         return m.barrier_iterations
+    if name == "SimplexIterations":
+        return 0  # no simplex (reference: MOI/attributes.jl:231)
     if name == "SolutionTime":
         return m.solve_time
+    if name == "RawStatusString":
+        return m.status.name
+    if name == "RelativeGap":
+        # |zp - zd| / (1e-6 + |zd|). The reference's implementation
+        # (reference: src/Interfaces/MOI/attributes.jl:199-204) has a
+        # misparenthesized denominator; this is the intended formula.
+        if m.solution is None:
+            return float("nan")
+        zp, zd = m.solution.z_primal, m.solution.z_dual
+        return abs(zp - zd) / (1e-6 + abs(zd))
+    if name == "ResultCount":
+        # (reference: MOI/attributes.jl:217-226)
+        from .status import TerminationStatus as Trm
+        if (m.solution is None
+                or m.status in (Trm.NOT_CALLED, Trm.UNKNOWN,
+                                Trm.MEMORY_LIMIT)):
+            return 0
+        return 1
     if name == "VariableLowerBound":
         return pb.lvar[index]
     if name == "VariableUpperBound":

@@ -17,13 +17,22 @@ from .status import TerminationStatus
 
 def _enable_compile_cache() -> None:
     """Persistent XLA compilation cache: first-compile of the jitted solve
-    can take minutes on TPU; subsequent CLI invocations start in seconds."""
+    can take minutes on TPU; subsequent CLI invocations start in seconds.
+
+    The directory is keyed by the host CPU model: XLA:CPU AOT artifacts
+    bake in the compile host's instruction-set features, and loading an
+    artifact from a different machine profile can SIGILL/segfault the
+    process (observed: a cache written on an AVX512-profile host crashing
+    later compiles on this one)."""
     import os
 
     import jax
 
-    cache = os.environ.get("TULIP_TPU_CACHE",
-                           os.path.expanduser("~/.cache/tulip_tpu_xla"))
+    from .utils import xla_cache_dir
+
+    base = os.environ.get("TULIP_TPU_CACHE",
+                          os.path.expanduser("~/.cache/tulip_tpu_xla"))
+    cache = xla_cache_dir(base)
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -20,7 +20,9 @@ from .semantics import apply_bound, row_bounds
 
 _REPO_ROOT = os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", ".."))
-_SO_PATH = os.path.join(_REPO_ROOT, "native", "build", "libtulip_mps.so")
+_SO_PATH = os.path.join(_REPO_ROOT, "native",
+                        os.environ.get("TULIP_NATIVE_DIR", "build"),
+                        "libtulip_mps.so")
 _SRC = os.path.join(_REPO_ROOT, "native", "mps_tokenizer.cpp")
 
 _lib = None

@@ -68,7 +68,17 @@ def stack_lps(dats: List[LPData]) -> LPData:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *padded)
 
 
-def stack_lps_host(problems, dtype=None) -> LPData:
+def bucket_dim(v: int, lo: int = 16) -> int:
+    """Pad target for heterogeneous batching: next power of two ≥ v
+    (floor ``lo``). Bounds padding waste to <2× per dimension while
+    capping the number of distinct compiled shapes at log²."""
+    p = lo
+    while p < v:
+        p *= 2
+    return p
+
+
+def stack_lps_host(problems, dtype=None, m_pad=None, n_pad=None) -> LPData:
     """Host-side batch builder: pad + stack raw ``(A, b, c, c0, l, u)``
     tuples with numpy and transfer ONE array per LPData leaf.
 
@@ -86,8 +96,10 @@ def stack_lps_host(problems, dtype=None) -> LPData:
     if dtype is None:
         dtype = jnp.float64
     B = len(problems)
-    m_pad = max(np.shape(p[0])[0] for p in problems)
-    n_pad = max(np.shape(p[0])[1] for p in problems)
+    if m_pad is None:
+        m_pad = max(np.shape(p[0])[0] for p in problems)
+    if n_pad is None:
+        n_pad = max(np.shape(p[0])[1] for p in problems)
     A_ = np.zeros((B, m_pad, n_pad))
     b_ = np.zeros((B, m_pad))
     c_ = np.zeros((B, n_pad))

@@ -20,7 +20,9 @@ import numpy as np
 
 _REPO_ROOT = os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", ".."))
-_SO_PATH = os.path.join(_REPO_ROOT, "native", "build", "libtulip_symbolic.so")
+_SO_PATH = os.path.join(_REPO_ROOT, "native",
+                        os.environ.get("TULIP_NATIVE_DIR", "build"),
+                        "libtulip_symbolic.so")
 
 _lib = None
 _tried = False

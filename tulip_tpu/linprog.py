@@ -119,10 +119,12 @@ def batch_linprog(problems: Sequence[dict], *, dtype="float32",
 
     ``problems``: sequence of dicts with :func:`linprog` keywords
     (``c`` required; ``A_ub``/``b_ub``/``A_eq``/``b_eq``/``bounds``
-    optional). Heterogeneous shapes are padded to the common standard-form
-    envelope (padded columns pinned to 0, padded rows 0·x=0 — see
-    :func:`tulip_tpu.ipm.batch.pad_lp`), so one compilation covers the
-    whole batch; convergence is tracked per instance.
+    optional). Heterogeneous shapes are grouped into pad-to-next-power-
+    of-two shape buckets — one compiled batched solve per bucket, results
+    re-interleaved — so an outlier instance inflates only its own bucket
+    instead of the whole batch (padded columns pinned to 0, padded rows
+    0·x=0 — see :func:`tulip_tpu.ipm.batch.pad_lp`); convergence is
+    tracked per instance.
 
     ``presolve`` (default: follow ``params.Presolve.Level``): run the
     full host presolve per instance; instances decided outright (e.g.
@@ -192,7 +194,6 @@ def batch_linprog(problems: Sequence[dict], *, dtype="float32",
                                 decided[i][4])
                 for i in range(len(problems))]
     import jax.numpy as jnp
-    stacked = stack_lps_host(dats, dtype=jnp.dtype(dtype))
 
     if backend is None:
         if dt == np.float32 and jax.default_backend() == "tpu":
@@ -212,14 +213,32 @@ def batch_linprog(problems: Sequence[dict], *, dtype="float32",
 
     algorithm = algorithm.upper()
     if algorithm == "HSD":
-        out = batched_hsd_solve(backend, HSDOptions(**opt_kw), stacked)
+        opts, solver = HSDOptions(**opt_kw), batched_hsd_solve
     elif algorithm == "MPC":
-        out = batched_mpc_solve(backend, MPCOptions(**opt_kw), stacked)
+        opts, solver = MPCOptions(**opt_kw), batched_mpc_solve
     else:
         raise ValueError(f"unknown algorithm {algorithm!r}")
-    out = jax.device_get(out)
-    statuses = np.asarray(out.status)
-    niters = np.asarray(out.niter)
+
+    # Shape-bucketed solves (SURVEY §7 hard-part 5): group lanes by a
+    # pad-to-next-power-of-two envelope, one compiled batched solve per
+    # bucket, results re-interleaved. One outlier instance no longer
+    # inflates the whole batch's padded shape.
+    from .ipm.batch import bucket_dim
+
+    buckets: dict = {}
+    for lane, d in enumerate(dats):
+        key = (bucket_dim(d[0].shape[0]), bucket_dim(d[0].shape[1]))
+        buckets.setdefault(key, []).append(lane)
+
+    lane_out = {}
+    for key in sorted(buckets):
+        lanes = buckets[key]
+        stacked = stack_lps_host([dats[i] for i in lanes],
+                                 dtype=jnp.dtype(dtype),
+                                 m_pad=key[0], n_pad=key[1])
+        out_b = jax.device_get(solver(backend, opts, stacked))
+        for pos, lane in enumerate(lanes):
+            lane_out[lane] = (out_b, pos)
 
     results = [None] * len(problems)
     for i, (st, sol, cvec, c0, n, _) in decided.items():
@@ -227,18 +246,19 @@ def batch_linprog(problems: Sequence[dict], *, dtype="float32",
 
     for lane, (idx, n, ncon, cvec, c0, ps, pb, pb_, n_struct) in \
             enumerate(meta):
-        st = TerminationStatus(int(statuses[lane]))
+        out, pos = lane_out[lane]
+        st = TerminationStatus(int(out.status[pos]))
         code, msg = _STATUS_MAP.get(st, (4, st.name))
         # Un-pad the lane back to the instance's true standard-form dims.
         m_i, n_i = dats[lane][0].shape
         pt_i = SimpleNamespace(
-            x=out.pt.x[lane, :n_i], zl=out.pt.zl[lane, :n_i],
-            zu=out.pt.zu[lane, :n_i], y=out.pt.y[lane, :m_i],
-            tau=out.pt.tau[lane])
+            x=out.pt.x[pos, :n_i], zl=out.pt.zl[pos, :n_i],
+            zu=out.pt.zu[pos, :n_i], y=out.pt.y[pos, :m_i],
+            tau=out.pt.tau[pos])
         state_i = SimpleNamespace(
-            pt=pt_i, primal_status=out.primal_status[lane],
-            dual_status=out.dual_status[lane], pobj=out.pobj[lane],
-            dobj=out.dobj[lane])
+            pt=pt_i, primal_status=out.primal_status[pos],
+            dual_status=out.dual_status[pos], pobj=out.pobj[pos],
+            dobj=out.dobj[pos])
         if ps is not None:
             sol_inner = Solution(pb_.ncon, pb_.nvar)
             _extract_solution(sol_inner, pb_, state_i, n_struct)
@@ -252,7 +272,7 @@ def batch_linprog(problems: Sequence[dict], *, dtype="float32",
                if st == TerminationStatus.OPTIMAL else np.nan)
         results[idx] = LinprogResult(
             x=x, fun=fun, success=st == TerminationStatus.OPTIMAL,
-            status=code, message=msg, nit=int(niters[lane]),
+            status=code, message=msg, nit=int(out.niter[pos]),
             termination=st,
             y=np.asarray(sol.y_lower) - np.asarray(sol.y_upper),
             s=np.asarray(sol.s_lower) - np.asarray(sol.s_upper))

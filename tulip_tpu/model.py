@@ -80,6 +80,12 @@ class Model:
                     raise RuntimeError("native presolve engine unavailable")
             if st is None:
                 st = ps.presolve()
+            if st in (TerminationStatus.PRIMAL_INFEASIBLE,
+                      TerminationStatus.DUAL_INFEASIBLE):
+                # Cheap witness scan for the OTHER side's infeasibility
+                # (beyond reference: Trm_PrimalDualInfeasible is defined
+                # but never produced there, src/status.jl:22).
+                st = ps.upgrade_if_both_infeasible()
             self.timings["presolve"] = time.time() - t_
             self.presolve_data = ps
             if st in (TerminationStatus.OPTIMAL,
@@ -102,6 +108,24 @@ class Model:
                 print(f"  Variables   : {ps.ncol}  "
                       f"(removed {pb.nvar - ps.ncol})")
                 print(f"  Non-zeros   : {pb_.nnz}")
+
+        if pb_.nvar == 0 or pb_.ncon == 0:
+            # Degenerate shapes the IPM cannot take (no variables / no
+            # rows): closed-form solve. Presolve catches these when on
+            # (reference: Presolve.jl:442-454); with presolve off the
+            # zero-size arrays must not reach the device path.
+            sol_inner, st = _trivial_solve(pb_)
+            self.barrier_iterations = 0
+            if params.Presolve.Level > 0:
+                sol_outer = Solution(pb.ncon, pb.nvar)
+                postsolve(sol_outer, sol_inner, self.presolve_data)
+                self.solution = sol_outer
+            else:
+                self.solution = sol_inner
+            _validate_certificates(pb, self.solution)
+            self.status = st
+            self.solve_time = time.time() - t0
+            return self.status
 
         t_ = time.time()
         dtype = np.dtype(params.ArithmeticDtype)
@@ -245,6 +269,62 @@ class Model:
         return state
 
 
+def _trivial_solve(pb_):
+    """Closed-form solve for no-variable / no-constraint problems."""
+    ncon, nvar = pb_.ncon, pb_.nvar
+    sol = Solution(ncon, nvar)
+    if nvar == 0:
+        lcon = np.asarray(pb_.lcon, dtype=float)
+        ucon = np.asarray(pb_.ucon, dtype=float)
+        bad_lo = np.isfinite(lcon) & (lcon > 0.0)
+        bad_hi = np.isfinite(ucon) & (ucon < 0.0)
+        if bad_lo.any() or bad_hi.any():
+            i = int(np.flatnonzero(bad_lo | bad_hi)[0])
+            sol.dual_status = SolutionStatus.INFEASIBILITY_CERTIFICATE
+            sol.is_dual_ray = True
+            if bad_lo[i]:
+                sol.y_lower[i] = 1.0
+            else:
+                sol.y_upper[i] = 1.0
+            sol.z_primal = sol.z_dual = np.inf
+            return sol, TerminationStatus.PRIMAL_INFEASIBLE
+        sol.primal_status = SolutionStatus.OPTIMAL
+        sol.dual_status = SolutionStatus.OPTIMAL
+        sol.z_primal = sol.z_dual = pb_.obj0
+        return sol, TerminationStatus.OPTIMAL
+
+    # ncon == 0: bounds-only LP (internal min-sense duals, like the IPM).
+    sense = 1.0 if pb_.objsense else -1.0
+    c = sense * np.asarray(pb_.obj, dtype=float)
+    lvar = np.asarray(pb_.lvar, dtype=float)
+    uvar = np.asarray(pb_.uvar, dtype=float)
+    unb = ((c > 0) & ~np.isfinite(lvar)) | ((c < 0) & ~np.isfinite(uvar))
+    if unb.any():
+        j = int(np.flatnonzero(unb)[0])
+        sol.primal_status = SolutionStatus.INFEASIBILITY_CERTIFICATE
+        sol.is_primal_ray = True
+        sol.x[j] = 1.0 if c[j] < 0 else -1.0
+        sol.z_primal = sol.z_dual = -np.inf
+        return sol, TerminationStatus.DUAL_INFEASIBLE
+    if bool(np.any(lvar > uvar)):
+        j = int(np.flatnonzero(lvar > uvar)[0])
+        sol.dual_status = SolutionStatus.INFEASIBILITY_CERTIFICATE
+        sol.is_dual_ray = True
+        sol.s_lower[j] = 1.0
+        sol.s_upper[j] = 1.0
+        sol.z_primal = sol.z_dual = np.inf
+        return sol, TerminationStatus.PRIMAL_INFEASIBLE
+    sol.x[:] = np.where(c > 0, lvar,
+                        np.where(c < 0, uvar, np.clip(0.0, lvar, uvar)))
+    sol.s_lower[:] = np.maximum(c, 0.0)
+    sol.s_upper[:] = np.maximum(-c, 0.0)
+    sol.primal_status = SolutionStatus.OPTIMAL
+    sol.dual_status = SolutionStatus.OPTIMAL
+    z = float(c @ sol.x)
+    sol.z_primal = sol.z_dual = z + pb_.obj0 * sense
+    return sol, TerminationStatus.OPTIMAL
+
+
 def _is_oom(e: Exception) -> bool:
     """Device/host memory exhaustion, in its XLA spellings."""
     if isinstance(e, MemoryError):
@@ -267,7 +347,7 @@ def _probe_structure(A_np: np.ndarray) -> Optional[str]:
     from .kkt.sparse import tile_plan
     from .kkt.sparse_ldl import dense_threshold
 
-    m = A_np.shape[0]
+    m, n = A_np.shape
     colnnz = (np.abs(A_np) > 0).sum(axis=0)
     dense_cols = colnnz >= dense_threshold(m)
     if bool(np.any(dense_cols)):
@@ -276,6 +356,12 @@ def _probe_structure(A_np: np.ndarray) -> Optional[str]:
         if tile_plan(As, 128) is not None:
             return "sparse-smw"
         return None  # dense cols and no residual sparsity: dense K1
+
+    # Density early-out: a matrix this dense cannot band or tile (the
+    # planners' gates would reject it after much more host work); skip
+    # the RCM + symbolic probes and take the dense backend directly.
+    if int(colnnz.sum()) > 0.2 * m * n:
+        return None
 
     from .kkt.banded import rcm_bandwidth
 

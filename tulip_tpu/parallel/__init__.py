@@ -2,11 +2,13 @@
 Schur complement, and mesh utilities."""
 
 from .block_angular import (BlockAngularLPData, make_block_angular,
-                            block_angular_to_dense, shard_scenarios)
+                            block_angular_to_dense, pad_scenarios,
+                            shard_scenarios)
 
 __all__ = [
     "BlockAngularLPData",
     "make_block_angular",
     "block_angular_to_dense",
+    "pad_scenarios",
     "shard_scenarios",
 ]

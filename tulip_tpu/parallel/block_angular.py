@@ -142,6 +142,35 @@ def make_block_angular(A0, b0, c0x, T, W, h, cks, l, u, c0=0.0,
     )
 
 
+def pad_scenarios(dat: BlockAngularLPData, K_pad: int) -> BlockAngularLPData:
+    """Zero-pad the scenario axis to ``K_pad`` (device-count
+    divisibility for sharding). Padded scenarios have T = W = 0, h = 0,
+    c_k = 0 and their variables pinned to 0 (l = u = 0, both flags on);
+    dual regularization keeps the padded blocks' factors nonsingular, so
+    the padded LP solves to the same optimum."""
+    K, mk, nk, n0 = dat.K, dat.mk, dat.nk, dat.n0
+    dK = K_pad - K
+    if dK < 0:
+        raise ValueError("K_pad smaller than K")
+    if dK == 0:
+        return dat
+    dt = dat.c.dtype
+    zeros_n = jnp.zeros(dK * nk, dt)
+    ones_n = jnp.ones(dK * nk, dt)
+    return BlockAngularLPData(
+        A0=dat.A0,
+        T=jnp.concatenate([dat.T, jnp.zeros((dK, mk, n0), dt)]),
+        W=jnp.concatenate([dat.W, jnp.zeros((dK, mk, nk), dt)]),
+        b=jnp.concatenate([dat.b, jnp.zeros(dK * mk, dt)]),
+        c=jnp.concatenate([dat.c, zeros_n]),
+        c0=dat.c0,
+        l=jnp.concatenate([dat.l, zeros_n]),
+        u=jnp.concatenate([dat.u, zeros_n]),
+        lflag=jnp.concatenate([dat.lflag, ones_n]),
+        uflag=jnp.concatenate([dat.uflag, ones_n]),
+    )
+
+
 def block_angular_to_dense(dat: BlockAngularLPData):
     """Assemble the equivalent dense LPData (for testing / small problems)."""
     from ..ipm.data import LPData

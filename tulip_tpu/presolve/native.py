@@ -27,7 +27,10 @@ from . import ops as OPS
 
 _REPO_ROOT = os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", ".."))
-_SO_PATH = os.path.join(_REPO_ROOT, "native", "build",
+# TULIP_NATIVE_DIR selects an alternative build dir (relative to
+# native/), e.g. an AddressSanitizer build for memory-safety runs.
+_SO_PATH = os.path.join(_REPO_ROOT, "native",
+                        os.environ.get("TULIP_NATIVE_DIR", "build"),
                         "libtulip_presolve.so")
 
 _I32P = ctypes.POINTER(ctypes.c_int32)

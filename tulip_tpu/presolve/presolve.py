@@ -577,6 +577,75 @@ class PresolveData:
     # ------------------------------------------------------------------
     # Driver
     # ------------------------------------------------------------------
+    def upgrade_if_both_infeasible(self) -> TerminationStatus:
+        """Upgrade a one-sided infeasibility verdict to
+        PRIMAL_DUAL_INFEASIBLE when a cheap witness for the OTHER side
+        also exists, attaching the second certificate ray.
+
+        The reference defines Trm_PrimalDualInfeasible
+        (reference: src/status.jl:22) and checks for it
+        (reference: src/model.jl:105) but no reference code path ever
+        assigns it; this is a sound partial detection beyond reference
+        behavior (a semidecision — absence of a cheap witness does not
+        rule the other side's infeasibility out). Idempotent.
+        """
+        sol = self.solution
+        if self.status == Trm.PRIMAL_INFEASIBLE and sol is not None:
+            # Dual-infeasibility witness: an improving column ray —
+            # moving x_j in the improving direction violates no finite
+            # row or variable bound (the empty-column ray generalized).
+            for j in range(self.pb0.nvar):
+                if not self.colflag[j]:
+                    continue
+                cj = self.obj[j]
+                for d in (1.0, -1.0):
+                    if cj * d >= 0.0:
+                        continue  # not improving
+                    if d > 0 and math.isfinite(self.ucol[j]):
+                        continue
+                    if d < 0 and math.isfinite(self.lcol[j]):
+                        continue
+                    free = True
+                    for i, aij in self._active_col(j):
+                        hi = self.urow[i] if aij * d > 0 else -self.lrow[i]
+                        if math.isfinite(hi):
+                            free = False
+                            break
+                    if free:
+                        self.status = Trm.PRIMAL_DUAL_INFEASIBLE
+                        sol.primal_status = Sln.INFEASIBILITY_CERTIFICATE
+                        sol.is_primal_ray = True
+                        sol.x[self.new_var_idx[j]] = d
+                        return self.status
+        elif self.status == Trm.DUAL_INFEASIBLE and sol is not None:
+            # Primal-infeasibility witness: an active bound conflict or
+            # an empty row whose bounds exclude zero.
+            for j in range(self.pb0.nvar):
+                if self.colflag[j] and self.lcol[j] > self.ucol[j]:
+                    self.status = Trm.PRIMAL_DUAL_INFEASIBLE
+                    sol.dual_status = Sln.INFEASIBILITY_CERTIFICATE
+                    sol.is_dual_ray = True
+                    j_ = self.new_var_idx[j]
+                    sol.s_lower[j_] = 1.0
+                    sol.s_upper[j_] = 1.0
+                    return self.status
+            for i in range(self.pb0.ncon):
+                if not self.rowflag[i]:
+                    continue
+                lr, ur = self.lrow[i], self.urow[i]
+                if lr > ur or (self.nzrow[i] == 0
+                               and (lr > 0.0 or ur < 0.0)):
+                    self.status = Trm.PRIMAL_DUAL_INFEASIBLE
+                    sol.dual_status = Sln.INFEASIBILITY_CERTIFICATE
+                    sol.is_dual_ray = True
+                    i_ = self.new_con_idx[i]
+                    if lr > ur or lr > 0.0:
+                        sol.y_lower[i_] = 1.0
+                    if lr > ur or ur < 0.0:
+                        sol.y_upper[i_] = 1.0
+                    return self.status
+        return self.status
+
     def presolve(self) -> TerminationStatus:
         """Fixpoint pass loop (reference: Presolve.jl:374-463)."""
         self.bounds_consistency_checks()

@@ -23,3 +23,30 @@ def pos_part(x: float) -> float:
 
 def neg_part(x: float) -> float:
     return -x if x < 0 else 0.0
+
+
+def machine_fingerprint() -> str:
+    """Short id of the host CPU's instruction-set profile.
+
+    XLA:CPU AOT cache artifacts bake in the compile host's features;
+    loading one on a host with a different profile can SIGILL/segfault.
+    Persistent cache directories should be keyed by this."""
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = [ln for ln in f if ln.startswith(("flags", "Features"))]
+        return hashlib.sha1(
+            (platform.machine() + (flags[0] if flags else "")).encode()
+        ).hexdigest()[:12]
+    except OSError:
+        return platform.machine() or "unknown"
+
+
+def xla_cache_dir(base: str) -> str:
+    """Machine-profile-keyed subdirectory of ``base`` for the persistent
+    XLA compilation cache."""
+    import os
+
+    return os.path.join(base, machine_fingerprint())
