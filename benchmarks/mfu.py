@@ -95,6 +95,21 @@ def flops_sparse(state, m, n):
     return assemble + factor + solve
 
 
+def flops_sparse_ldl(state, m, n):
+    # K2 backend: nodes over N = n + m, signed blocked Cholesky.
+    nbr = state.nodes.shape[0] - 1
+    B = state.nodes.shape[1]
+    cmax = state.col_ids.shape[1]
+    umax = state.u_a.shape[1]
+    assemble = nbr * (cmax + 1) * 2 * B * B      # gather-dominated
+    # Per block column: 2 masked Choleskys + pivot TRSM + W Wᵀ GEMM,
+    # cmax batched TRSMs for the L tiles, umax GEMM updates.
+    factor = nbr * (2 * B ** 3 / 3 + 3 * B ** 3
+                    + cmax * B ** 3 + umax * 2 * B ** 3)
+    solve = nbr * (4 * B * B + cmax * 4 * B * B)
+    return assemble + factor + solve
+
+
 def flops_smw(state, m, n):
     inner = flops_sparse(state.inner, m, n)
     k = state.U.shape[1]
@@ -140,7 +155,8 @@ def main():
     dtype = np.dtype(args.dtype).type
 
     from tulip_tpu.kkt import (BandedK1Backend, DenseK1Backend,
-                               SparseK1Backend, SplitK1Backend)
+                               SparseK1Backend, SparseK2Backend,
+                               SplitK1Backend)
 
     peak_bf16, kind = chip_peak_bf16()
     log(f"device: {kind}  platform: {jax.devices()[0].platform}  "
@@ -161,6 +177,8 @@ def main():
             ("banded", BandedK1Backend(min_block=128), A, flops_banded),
             ("sparse-128", SparseK1Backend(block=128), A, flops_sparse),
             ("sparse-smw", SplitK1Backend(block=128), Adc, flops_smw),
+            ("sparse-ldl", SparseK2Backend(block=128), Adc,
+             flops_sparse_ldl),
         ]
         for name, be, Ax, ffn in cases:
             try:

@@ -236,12 +236,15 @@ def test_probe_routes_dense_columns_to_k2():
 
 
 def test_make_backend_sparse_ldl_and_smw():
+    import warnings
+
     from tulip_tpu.kkt.splitting import SplitK1Backend
 
-    # sparse-ldl is registered but flagged experimental (it passes the
-    # conformance kit yet stalls real IPM trajectories — the honest
-    # framing the reference uses for its research-option backends).
-    with pytest.warns(UserWarning, match="experimental"):
+    # sparse-ldl is a validated production backend (the signed blocked
+    # Cholesky replaced the explicit pivot-block inverses that used to
+    # stall real IPM trajectories): no experimental warning.
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
         be = make_backend("sparse-ldl", system="K2", refinement_steps=1)
     assert isinstance(be, SparseK2Backend)
     with pytest.raises(ValueError):
@@ -251,3 +254,33 @@ def test_make_backend_sparse_ldl_and_smw():
 
     be = make_backend("sparse-smw", system="K1", refinement_steps=2)
     assert isinstance(be, SplitK1Backend)
+
+
+@pytest.mark.parametrize("algo", ["hsd", "mpc"])
+def test_sparse_ldl_end_to_end_dense_column_lp(algo):
+    """Full IPM solve through the tiled K2 signed blocked Cholesky on a
+    staircase LP with a dense linking column, objective vs HiGHS to 1e-8.
+
+    This is the regression test for the backend's promotion out of
+    experimental status: the earlier explicit-pivot-block-inverse design
+    stalled both algorithms at ~1e-4 gaps on exactly this family."""
+    from scipy.optimize import linprog
+
+    from tulip_tpu.ipm.data import make_lp_data
+    from tulip_tpu.ipm.hsd import HSDOptions, hsd_solve
+    from tulip_tpu.ipm.mpc import MPCOptions, mpc_solve
+
+    A, b, c, u = _dense_col_lp()
+    n = A.shape[1]
+    dat = make_lp_data(A, b, c, 0.0, np.zeros(n), u)
+    be = SparseK2Backend(block=8, refinement_steps=2)
+    assert isinstance(be.setup(jnp.asarray(A)), SparseK2State)
+    if algo == "hsd":
+        out = hsd_solve(dat, be, HSDOptions())
+    else:
+        out = mpc_solve(dat, be, MPCOptions())
+    assert int(out.status) == 2
+    r = linprog(c, A_eq=A, b_eq=b, bounds=list(zip(np.zeros(n), u)),
+                method="highs")
+    assert r.status == 0
+    assert abs(float(out.pobj) - r.fun) < 1e-7 * max(1, abs(r.fun))

