@@ -150,6 +150,8 @@ def main():
     ap.add_argument("--sizes", default="1024,2048,4096,8192")
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--backends", default=None,
+                    help="comma-separated subset to run (skips JSON write)")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
     dtype = np.dtype(args.dtype).type
@@ -181,6 +183,8 @@ def main():
              flops_sparse_ldl),
         ]
         for name, be, Ax, ffn in cases:
+            if args.backends and name not in args.backends.split(","):
+                continue
             try:
                 dt, fl, stname = measure(be, Ax, ffn, iters=args.iters)
             except Exception as e:
@@ -203,11 +207,12 @@ def main():
                              pct_mxu_f32eff=None if not peak_bf16
                              else round(pf, 3),
                              device=kind))
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "mfu_results.json")
-    with open(out_path, "w") as f:
-        json.dump(rows, f, indent=1)
-    log(f"wrote {out_path}")
+    if not args.backends:
+        out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "mfu_results.json")
+        with open(out_path, "w") as f:
+            json.dump(rows, f, indent=1)
+        log(f"wrote {out_path}")
     print(json.dumps(rows))
 
 

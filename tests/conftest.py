@@ -14,3 +14,22 @@ import jax  # noqa: E402
 
 # An injected sitecustomize may have force-selected a TPU platform; override.
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    The full suite accumulates hundreds of resident XLA:CPU executables;
+    past ~300 tests that state has produced hard crashes (SIGSEGV/
+    SIGABRT) inside later large compiles (observed on the m=2048 tiled-K2
+    program, which passes in isolation under identical flags). Bounding
+    the live-executable set keeps the process well clear of that regime.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()

@@ -76,3 +76,21 @@ def test_xl_multiperiod_banded():
     # Host-side O(nnz) phases must not balloon with problem size.
     assert mod.timings["postsolve"] < 5.0
     assert mod.timings["extract"] < 5.0
+
+
+@pytest.mark.slow
+def test_large_dense_column_k2_sparse_ldl():
+    """m=2048 staircase + dense column with System=K2 requested: the K2
+    dispatch routes to the tiled signed blocked Cholesky (the reference's
+    CHOLMOD-on-K2 default role, src/KKT/KKT.jl:134-141) and solves to
+    1e-8 through the full pipeline."""
+    A, b, c, u = staircase_lp(2048, dense_cols=1)
+    mod = load_model(A, b, c, u, name="densecol2048-k2")
+    tlp.set_parameter(mod, "KKT_System", "K2")
+    st = mod.optimize()
+    assert st == TerminationStatus.OPTIMAL
+    assert mod.kkt_backend.name == "sparse-ldl"
+    from tulip_tpu.kkt.sparse_ldl import SparseK2State
+    z = tlp.get_attribute(mod, "ObjectiveValue")
+    z_ref = highs_optimum(A, b, c, u)
+    assert abs(z - z_ref) <= 1e-7 * max(1.0, abs(z_ref))

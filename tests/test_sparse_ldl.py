@@ -71,14 +71,17 @@ def test_k2_tiled_conformance_unit():
     run_ls_tests(A, be)
 
 
-def test_k2_tiled_illconditioned_theta():
+@pytest.mark.parametrize("inv_factor", [True, False])
+def test_k2_tiled_illconditioned_theta(inv_factor):
     """Late-IPM θ spans (1e-6..1e6) still solve to ~1e-8 residuals with
-    refinement — the regime where K1's κ(K1)=κ(K2)² hurts most."""
+    refinement — the regime where K1's κ(K1)=κ(K2)² hurts most — in both
+    the TRSM and the triangular-inverse (GEMM fast-path) modes."""
     rng = np.random.default_rng(1)
     A_np = _staircase_dense_col(seed=1)
     m, n = A_np.shape
     A = jnp.asarray(A_np)
-    be = SparseK2Backend(block=16, refinement_steps=2)
+    be = SparseK2Backend(block=16, refinement_steps=2,
+                         inv_factor=inv_factor)
     st = be.setup(A)
     th = jnp.asarray(10.0 ** rng.uniform(-6, 6, n))
     regP = jnp.full(n, 1e-8)
@@ -115,7 +118,11 @@ def test_k2_matches_dense_ldl():
         return be.solve(st, xi_p, xi_d)
 
     dx1, dy1 = solve(SparseK2Backend(block=8, refinement_steps=1))
+    dx1b, dy1b = solve(SparseK2Backend(block=8, refinement_steps=1,
+                                       inv_factor=False))
     dx2, dy2 = solve(make_backend("dense-ldl", refinement_steps=1))
+    np.testing.assert_allclose(np.asarray(dx1b), np.asarray(dx2),
+                               rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx2),
                                rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(np.asarray(dy1), np.asarray(dy2),

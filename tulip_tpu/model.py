@@ -146,6 +146,15 @@ class Model:
                 # sweeps on the true system to hold 1e-8 end-to-end
                 # (measured: 25-27 IPM iters at <=1 sweep vs 8 at 2).
                 refinement = max(refinement, 2)
+        if backend_name is None and params.KKT.System == "K2" \
+                and dat.A.shape[0] >= 2048:
+            # Large problem on the augmented system: the tiled signed
+            # blocked Cholesky exploits sparsity (CHOLMOD-on-K2 role,
+            # reference default dispatch src/KKT/KKT.jl:134-141) and
+            # falls back to dense-ldl internally when tiling gives no
+            # advantage. Two refinement sweeps hold 1e-8 end-to-end.
+            backend_name = "sparse-ldl"
+            refinement = max(refinement, 2)
         if backend_name is None and params.KKT.System in (None, "K1") \
                 and dtype == np.float32:
             import jax
