@@ -45,11 +45,25 @@ def main():
     print(f"status={st.name} objective={z:.9f} "
           f"iters={m_.barrier_iterations} backend={m_.kkt_backend.name}")
 
+    # Same LP through the augmented system (K2), the reference's default
+    # route: the tiled signed blocked Cholesky confines the dense
+    # column's fill to the trailing tiles instead of splitting it out.
+    m2 = tlp.Model()
+    m2.pbdata.load(True, c, 0.0, (coo_i, coo_j, A[coo_i, coo_j]),
+                   b, b, np.zeros(n), u, name="densecol")
+    m2.params.KKT.Backend = "sparse-ldl"
+    m2.params.KKT.System = "K2"
+    m2.params.KKT.RefinementSteps = 2
+    st2 = m2.optimize()
+    z2 = tlp.get_attribute(m2, "ObjectiveValue")
+    print(f"status={st2.name} objective={z2:.9f} "
+          f"iters={m2.barrier_iterations} backend={m2.kkt_backend.name}")
+
     from scipy.optimize import linprog
     r = linprog(c, A_eq=A, b_eq=b, bounds=list(zip(np.zeros(n), u)),
                 method="highs")
     print(f"HiGHS     objective={r.fun:.9f}  "
-          f"(|Δ| = {abs(z - r.fun):.2e})")
+          f"(|Δ| smw = {abs(z - r.fun):.2e}, ldl = {abs(z2 - r.fun):.2e})")
 
 
 if __name__ == "__main__":

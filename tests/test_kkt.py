@@ -532,3 +532,59 @@ def test_craig_backends_match_direct_solve():
                                    rtol=1e-6, atol=1e-8)
         np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
                                    rtol=1e-6, atol=1e-8)
+
+
+def test_blocked_cholesky_invfactor_matches_xla():
+    """Recursive blocked Cholesky+inverse (ops/blocked.py) agrees with
+    XLA's cholesky + TRSM, including on non-power-of-two sizes, and
+    propagates NaN on non-SPD input."""
+    import jax
+    import jax.scipy.linalg as jsl
+
+    from tulip_tpu.ops.blocked import cholesky_invfactor_blocked
+
+    rng = np.random.default_rng(11)
+    for m in (96, 130, 257):
+        G = rng.standard_normal((m, m))
+        K = jnp.asarray(G @ G.T + m * np.eye(m))
+        L, X = cholesky_invfactor_blocked(K, leaf=64)
+        Lref = jnp.linalg.cholesky(K)
+        Xref = jsl.solve_triangular(Lref, jnp.eye(m, dtype=K.dtype),
+                                    lower=True)
+        np.testing.assert_allclose(np.asarray(L), np.asarray(Lref),
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(X), np.asarray(Xref),
+                                   rtol=5e-8, atol=5e-8)
+    # Non-SPD -> NaNs so the reg-bump ladder can detect failure.
+    Kbad = jnp.asarray(-np.eye(96))
+    L, X = cholesky_invfactor_blocked(Kbad, leaf=64)
+    assert not bool(jnp.all(jnp.isfinite(X)))
+
+
+def test_dense_backend_blocked_path_matches_default():
+    """DenseK1Backend with the blocked inv-factor path engaged gives the
+    same solves as the XLA path (blocked_min lowered to force it)."""
+    rng = np.random.default_rng(12)
+    m, n = 96, 150
+    A = jnp.asarray(rng.standard_normal((m, n)))
+    th = jnp.asarray(10.0 ** rng.uniform(-3, 3, n))
+    regP = jnp.full(n, 1e-8)
+    regD = jnp.full(m, 1e-8)
+    xi_p = jnp.asarray(rng.standard_normal(m))
+    xi_d = jnp.asarray(rng.standard_normal(n))
+
+    from tulip_tpu.kkt import DenseK1Backend
+
+    def run(be):
+        st = be.setup(A)
+        st, ok = be.update(st, th, regP, regD)
+        assert bool(ok)
+        return be.solve(st, xi_p, xi_d)
+
+    dx1, dy1 = run(DenseK1Backend(inv_factor=True, blocked_min=64,
+                                  refinement_steps=1))
+    dx2, dy2 = run(DenseK1Backend(inv_factor=True, refinement_steps=1))
+    np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx2),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(dy1), np.asarray(dy2),
+                               rtol=1e-8, atol=1e-9)

@@ -63,11 +63,21 @@ class MixedK1Backend(KKTBackend):
         d = 1.0 / theta_reg
         B32 = state.A32 * jnp.sqrt(d).astype(jnp.float32)[None, :]
         K32 = B32 @ B32.T + jnp.diag(regD.astype(jnp.float32))
-        L32 = jnp.linalg.cholesky(K32)
-        ok = jnp.all(jnp.isfinite(L32))
-        L32 = jnp.where(ok, L32, jnp.eye(K32.shape[-1], dtype=jnp.float32))
-        Li32 = jax.scipy.linalg.solve_triangular(
-            L32, jnp.eye(K32.shape[-1], dtype=jnp.float32), lower=True)
+        m = K32.shape[-1]
+        if m >= 4096:
+            # Recursive blocked chol+inverse: GEMM-dominated, ~2x XLA's
+            # cholesky+TRSM at this scale (see ops/blocked.py).
+            from ..ops.blocked import cholesky_invfactor_blocked
+
+            _, Li32 = cholesky_invfactor_blocked(K32)
+            ok = jnp.all(jnp.isfinite(Li32))
+            Li32 = jnp.where(ok, Li32, jnp.eye(m, dtype=jnp.float32))
+        else:
+            L32 = jnp.linalg.cholesky(K32)
+            ok = jnp.all(jnp.isfinite(L32))
+            L32 = jnp.where(ok, L32, jnp.eye(m, dtype=jnp.float32))
+            Li32 = jax.scipy.linalg.solve_triangular(
+                L32, jnp.eye(m, dtype=jnp.float32), lower=True)
         return (MixedK1State(A=state.A, A32=state.A32, d=d,
                              theta_reg=theta_reg, regD=regD, Li32=Li32), ok)
 
