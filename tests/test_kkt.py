@@ -588,3 +588,33 @@ def test_dense_backend_blocked_path_matches_default():
                                rtol=1e-8, atol=1e-9)
     np.testing.assert_allclose(np.asarray(dy1), np.asarray(dy2),
                                rtol=1e-8, atol=1e-9)
+
+
+def test_mixed_backend_blocked_path_matches_default():
+    """dense-mixed with the blocked f32 chol+inverse engaged solves to
+    the same f64-refined accuracy as its XLA path."""
+    rng = np.random.default_rng(13)
+    m, n = 96, 150
+    A = jnp.asarray(rng.standard_normal((m, n)))
+    th = jnp.asarray(10.0 ** rng.uniform(-3, 3, n))
+    regP = jnp.full(n, 1e-8)
+    regD = jnp.full(m, 1e-8)
+    xi_p = jnp.asarray(rng.standard_normal(m))
+    xi_d = jnp.asarray(rng.standard_normal(n))
+
+    from tulip_tpu.kkt import MixedK1Backend
+
+    def run(be):
+        st = be.setup(A)
+        st, ok = be.update(st, th, regP, regD)
+        assert bool(ok)
+        dx, dy = be.solve(st, xi_p, xi_d)
+        rd = np.asarray(xi_d) - (-(np.asarray(th) + 1e-8) * np.asarray(dx)
+                                 + np.asarray(A).T @ np.asarray(dy))
+        assert np.max(np.abs(rd)) < 1e-9
+        return dx, dy
+
+    dx1, dy1 = run(MixedK1Backend(blocked_min=64))
+    dx2, dy2 = run(MixedK1Backend())
+    np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx2),
+                               rtol=1e-8, atol=1e-9)

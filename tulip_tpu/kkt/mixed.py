@@ -39,6 +39,9 @@ class MixedK1Backend(KKTBackend):
     name = "dense-mixed"
     systems = ("K1",)
     refinement_steps: int = 3
+    # Recursive blocked chol+inverse for the f32 factor at m >= this
+    # (same rationale and machinery as DenseK1Backend.blocked_min).
+    blocked_min: int = 4096
 
     def arithmetic(self, state) -> str:
         return "float32 factorization / float64 refinement"
@@ -64,7 +67,7 @@ class MixedK1Backend(KKTBackend):
         B32 = state.A32 * jnp.sqrt(d).astype(jnp.float32)[None, :]
         K32 = B32 @ B32.T + jnp.diag(regD.astype(jnp.float32))
         m = K32.shape[-1]
-        if m >= 4096:
+        if m >= self.blocked_min:
             # Recursive blocked chol+inverse: GEMM-dominated, ~2x XLA's
             # cholesky+TRSM at this scale (see ops/blocked.py).
             from ..ops.blocked import cholesky_invfactor_blocked
