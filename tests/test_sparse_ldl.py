@@ -291,3 +291,31 @@ def test_sparse_ldl_end_to_end_dense_column_lp(algo):
                 method="highs")
     assert r.status == 0
     assert abs(float(out.pobj) - r.fun) < 1e-7 * max(1, abs(r.fun))
+
+
+def test_k2_tiled_f32():
+    """f32 path: conformance kit at f32 tolerance, plus a moderate-span
+    Θ stress with refinement (the arithmetic axis the reference covers
+    with its Float32 CI leg, test/runtests.jl:9)."""
+    A_np = _staircase_dense_col(seed=3).astype(np.float32)
+    A = jnp.asarray(A_np, dtype=jnp.float32)
+    be = SparseK2Backend(block=16, refinement_steps=2)
+    st = be.setup(A)
+    assert isinstance(st, SparseK2State)
+    assert st.T0.dtype == jnp.float32
+    run_ls_tests(A, be)
+
+    rng = np.random.default_rng(4)
+    m, n = A_np.shape
+    th = jnp.asarray(10.0 ** rng.uniform(-2, 2, n), jnp.float32)
+    st, ok = be.update(st, th, jnp.full(n, 1e-5, jnp.float32),
+                       jnp.full(m, 1e-5, jnp.float32))
+    assert bool(ok)
+    xi_p = jnp.asarray(rng.standard_normal(m), jnp.float32)
+    xi_d = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    dx, dy = be.solve(st, xi_p, xi_d)
+    rd = np.asarray(xi_d) - (-(np.asarray(th) + 1e-5) * np.asarray(dx)
+                             + A_np.T @ np.asarray(dy))
+    rp = np.asarray(xi_p) - (A_np @ np.asarray(dx) + 1e-5 * np.asarray(dy))
+    assert np.max(np.abs(rd)) < 5e-4
+    assert np.max(np.abs(rp)) < 5e-4
