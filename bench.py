@@ -3,18 +3,56 @@
 Solves a batch of random feasible standard-form LPs with the batched HSD
 solver (f32 + iterative refinement on TPU) and compares wall-clock
 throughput against scipy's HiGHS (the strongest available CPU LP solver,
-standing in for the reference CPU solver) solving the same instances
-sequentially.
+standing in for the reference CPU solver) solving the same instances at
+MATCHED feasibility tolerances.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Robustness contract (round-4): the JSON line must appear within the
+driver's budget from a COLD compile cache. Two mechanisms guarantee it:
+
+- NO persistent compilation cache. On the tunneled axon TPU the XLA
+  compile of the batched program is seconds server-side, but *serializing
+  the compiled executables into jax's persistent cache* blocks for
+  minutes (measured: >300 s with the cache enabled vs 86 s end-to-end
+  without; round 3's official bench artifact was lost to exactly this,
+  BENCH_r03.json rc=124). Compiling fresh every run is the fast path.
+- Cheap metrics (HiGHS baseline, dense-KKT MFU) run FIRST and a watchdog
+  thread prints a partial-result JSON line just before BENCH_BUDGET
+  seconds (default 280) if the batched program has not finished.
 """
 
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
+
+TOL = 3e-4  # f32 solve tolerance; HiGHS runs at the same feasibility tols.
+
+_result_lock = threading.Lock()
+_result = {
+    "metric": "batched_lp_throughput",
+    "value": 0.0,
+    "unit": "solves/s",
+    "vs_baseline": 0.0,
+}
+_printed = False
+
+
+def _emit(final):
+    """Print the JSON line exactly once (watchdog or normal completion)."""
+    global _printed
+    with _result_lock:
+        if _printed:
+            return
+        _printed = True
+        if not final:
+            _result["note"] = "partial: batched solve exceeded BENCH_BUDGET"
+        print(json.dumps(_result), flush=True)
 
 
 def log(*a):
@@ -34,7 +72,7 @@ def make_raw_instances(nb, m, n, seed=0):
     return out
 
 
-def bench_tpu(raws, dtype="float32", tol=3e-4):
+def bench_tpu(raws, dtype="float32", tol=TOL):
     import jax
 
     # TPU matmuls default to bf16 passes; the IPM needs true-f32 GEMMs for
@@ -94,63 +132,31 @@ def bench_tpu(raws, dtype="float32", tol=3e-4):
     return len(raws) / wall, n_opt, out
 
 
-def bench_highs(raws, n_sample=64):
+def bench_highs(raws, n_sample=128, tol=TOL):
+    """HiGHS at feasibility tolerances MATCHED to the TPU solve (the
+    round-3 ratio compared a 3e-4 f32 solve against default ~1e-7 HiGHS
+    and swung 90->108x on that asymmetry alone)."""
     from scipy.optimize import linprog
 
+    opts = {"primal_feasibility_tolerance": tol,
+            "dual_feasibility_tolerance": tol}
     sample = raws[:n_sample]
     t0 = time.time()
     n_ok = 0
     for (A, b, c, u) in sample:
         r = linprog(c, A_eq=A, b_eq=b, bounds=[(0, ub) for ub in u],
-                    method="highs")
+                    method="highs", options=opts)
         n_ok += (r.status == 0)
     wall = time.time() - t0
-    log(f"HiGHS: {n_ok}/{len(sample)} optimal in {wall:.3f}s "
+    log(f"HiGHS(tol={tol}): {n_ok}/{len(sample)} optimal in {wall:.3f}s "
         f"({len(sample)/wall:.1f} solves/s)")
     return len(sample) / wall
-
-
-def main():
-    # Persistent compilation cache: the cold compile of the full batched
-    # while_loop program is minutes; cached reruns start in seconds.
-    import os
-
-    import jax
-
-    from tulip_tpu.utils import xla_cache_dir
-    jax.config.update("jax_compilation_cache_dir", xla_cache_dir(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".jax_cache")))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    # Measured batch-size sweep on one v5e chip (48x96 LPs): 1024 -> 12.3k,
-    # 2048 -> 15.8k, 4096 -> 13.6k solves/s; 2048 is the throughput peak.
-    NB = int(os.environ.get("BENCH_NB", "2048"))
-    M, N = 48, 96
-    raws = make_raw_instances(NB, M, N)
-
-    tpu_rate, n_opt, _ = bench_tpu(raws)
-    highs_rate = bench_highs(raws)
-
-    result = {
-        "metric": "batched_lp_throughput",
-        "value": round(tpu_rate, 2),
-        "unit": "solves/s",
-        "vs_baseline": round(tpu_rate / highs_rate, 3),
-    }
-    try:
-        result.update(bench_kkt_mfu())
-    except Exception as e:  # never let the MFU probe kill the headline
-        log(f"kkt mfu probe failed: {type(e).__name__}: {e}")
-    print(json.dumps(result))
 
 
 def bench_kkt_mfu(m=8192):
     """BASELINE.json primary hardware metric: dense-K1 factorize+solve
     GFLOP/s on one chip and % of the f32-effective MXU peak
     (see benchmarks/mfu.py for the full backend × size table)."""
-    import os
-
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                     "benchmarks"))
     from bench_sparse import staircase
@@ -168,6 +174,34 @@ def bench_kkt_mfu(m=8192):
                                             2)
     log(f"kkt mfu (dense m={m}): {gfs:.0f} GFLOP/s on {kind}")
     return out
+
+
+def main():
+    budget = float(os.environ.get("BENCH_BUDGET", "280"))
+    watchdog = threading.Timer(budget, _emit, args=(False,))
+    watchdog.daemon = True
+    watchdog.start()
+
+    # Measured batch-size sweep on one v5e chip (48x96 LPs): 1024 -> 12.3k,
+    # 2048 -> 15.8k, 4096 -> 13.6k solves/s; 2048 is the throughput peak.
+    NB = int(os.environ.get("BENCH_NB", "2048"))
+    M, N = 48, 96
+    raws = make_raw_instances(NB, M, N)
+
+    # Cheap metrics first so a partial emit still carries them.
+    highs_rate = bench_highs(raws)
+    _result["vs_baseline_note"] = (
+        f"HiGHS on {min(len(raws), 128)} of the same instances at matched "
+        f"feasibility tolerance {TOL}")
+    try:
+        _result.update(bench_kkt_mfu())
+    except Exception as e:  # never let the MFU probe kill the headline
+        log(f"kkt mfu probe failed: {type(e).__name__}: {e}")
+
+    tpu_rate, n_opt, _ = bench_tpu(raws)
+    _result["value"] = round(tpu_rate, 2)
+    _result["vs_baseline"] = round(tpu_rate / highs_rate, 3)
+    _emit(True)
 
 
 if __name__ == "__main__":

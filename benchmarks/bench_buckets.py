@@ -24,12 +24,10 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(_HERE))
 
-from tulip_tpu.utils import xla_cache_dir  # noqa: E402
+from tulip_tpu.utils import enable_persistent_cache  # noqa: E402
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    xla_cache_dir(os.path.join(os.path.dirname(_HERE), ".jax_cache")))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# No-op on tunneled (axon) backends, where cache writes block for minutes.
+enable_persistent_cache(os.path.join(os.path.dirname(_HERE), ".jax_cache"))
 
 from tulip_tpu.ipm.batch import (batched_hsd_solve, bucket_dim,  # noqa: E402
                                  stack_lps_host)

@@ -14,6 +14,13 @@ import tulip_tpu as tlp
 from tulip_tpu.problem import INF
 from tulip_tpu.status import SolutionStatus, TerminationStatus
 
+from x4 import make_x4_fixture
+
+# Run every behavior in this module under the reference's four MOI.Test
+# configurations {HSD, MPC} x {presolve on/off}
+# (reference: test/Interfaces/MOI_wrapper.jl:24-92).
+_x4_config = make_x4_fixture()
+
 OPT = TerminationStatus.OPTIMAL
 
 
@@ -80,10 +87,13 @@ def test_modify_constraint_bounds_and_resolve():
     x = pb.add_variable((), (), 1.0, 0.0, INF)
     ci = pb.add_constraint([x], [1.0], 2.0, INF)
     assert m.optimize() == OPT
-    assert abs(tlp.get_attribute(m, "ObjectiveValue") - 2.0) < 1e-8
+    # 1e-6 = the reference MOI conformance tolerance
+    # (test/Interfaces/MOI_wrapper.jl:18-19); without presolve these solve
+    # through the IPM at its sqrt(eps) RELATIVE tolerance.
+    assert abs(tlp.get_attribute(m, "ObjectiveValue") - 2.0) < 1e-6
     tlp.set_attribute(m, "ConstraintLowerBound", 7.0, index=ci)
     assert m.optimize() == OPT
-    assert abs(tlp.get_attribute(m, "ObjectiveValue") - 7.0) < 1e-8
+    assert abs(tlp.get_attribute(m, "ObjectiveValue") - 7.0) < 1e-6
 
 
 def test_delete_variable_and_resolve():
@@ -107,10 +117,10 @@ def test_delete_constraint_and_resolve():
     c1 = pb.add_constraint([x], [1.0], 3.0, INF)
     pb.add_constraint([x], [1.0], 1.0, INF)
     assert m.optimize() == OPT
-    assert abs(tlp.get_attribute(m, "ObjectiveValue") - 3.0) < 1e-8
+    assert abs(tlp.get_attribute(m, "ObjectiveValue") - 3.0) < 1e-6
     pb.delete_constraint(c1)
     assert m.optimize() == OPT
-    assert abs(tlp.get_attribute(m, "ObjectiveValue") - 1.0) < 1e-8
+    assert abs(tlp.get_attribute(m, "ObjectiveValue") - 1.0) < 1e-6
 
 
 def test_set_coefficient_and_resolve():
@@ -137,7 +147,7 @@ def test_interval_constraint():
     x = pb.add_variable((), (), -1.0, 0.0, INF)
     pb.add_constraint([x], [1.0], 2.0, 5.0)
     assert m.optimize() == OPT
-    assert abs(tlp.get_attribute(m, "ObjectiveValue") + 5.0) < 1e-8
+    assert abs(tlp.get_attribute(m, "ObjectiveValue") + 5.0) < 1e-6
     y = m.solution.y_lower[0] - m.solution.y_upper[0]
     assert abs(y - (-1.0)) < 1e-6  # active at upper -> y <= 0
 

@@ -14,6 +14,13 @@ import tulip_tpu as tlp
 from tulip_tpu.problem import INF
 from tulip_tpu.status import TerminationStatus
 
+from x4 import make_x4_fixture
+
+# Run every behavior in this module under the reference's four MOI.Test
+# configurations {HSD, MPC} x {presolve on/off}
+# (reference: test/Interfaces/MOI_wrapper.jl:24-92).
+_x4_config = make_x4_fixture()
+
 OPT = TerminationStatus.OPTIMAL
 
 
@@ -125,10 +132,16 @@ def test_complementary_slackness():
 
 # ------------------------------------------------------------ certificates --
 
-def test_farkas_certificate_inequalities():
+def test_farkas_certificate_inequalities(_x4_config):
     """The returned dual ray is a genuine Farkas certificate:
     A'y <= 0 componentwise (for x >= 0 rows) and b'y > 0
-    (reference asserts the same inequalities, examples/infeasible.jl:37-53)."""
+    (reference asserts the same inequalities, examples/infeasible.jl:37-53).
+
+    Ray inequalities are asserted for HSD only: the reference documents
+    MPC's infeasibility certificates as weaker than HSD's (reference:
+    src/IPM/MPC/MPC.jl:185-208 detects divergence without building a
+    certified ray)."""
+    algo, _ = _x4_config
     m = new_model()
     pb = m.pbdata
     x = pb.add_variable((), (), 1.0, 0.0, INF)
@@ -139,6 +152,8 @@ def test_farkas_certificate_inequalities():
     assert m.optimize() == TerminationStatus.PRIMAL_INFEASIBLE
     sol = m.solution
     assert sol.is_dual_ray
+    if algo != "HSD":
+        return
     yr = np.asarray(sol.y_lower) - np.asarray(sol.y_upper)
     A = np.array([[1.0, 1.0], [1.0, 1.0]])
     # A'y - s = 0 with s = sl - su; variables have no upper bound so the
@@ -201,8 +216,13 @@ def test_degenerate_vertex():
 
 def test_large_coefficient_scale():
     """Row/col equilibration (reference: Presolve.jl:256-300) keeps badly
-    scaled problems solvable: coefficients spanning 1e6."""
+    scaled problems solvable: coefficients spanning 1e6.
+
+    Equilibration is a presolve-extract feature — the reference only scales
+    inside extract_reduced_problem! when Level > 0 (reference:
+    src/model.jl:88-123) — so this behavior is pinned to presolve-on."""
     m = new_model()
+    m.params.Presolve.Level = 1
     pb = m.pbdata
     x = pb.add_variable((), (), 1e6, 0.0, INF)
     y = pb.add_variable((), (), 1e-3, 0.0, INF)
@@ -363,8 +383,10 @@ def test_both_algorithms_agree(algo):
 def test_presolve_solves_fully_reducible_model():
     """A model presolve reduces to nothing terminates OPTIMAL without the
     IPM and still reports the right objective and duals
-    (reference: Presolve.jl:442-454)."""
+    (reference: Presolve.jl:442-454). Inherently a presolve behavior —
+    pinned to Level 1."""
     m = new_model()
+    m.params.Presolve.Level = 1
     pb = m.pbdata
     x = pb.add_variable((), (), 2.0, 1.5, 1.5)        # fixed
     pb.add_constraint([x], [1.0], 0.0, 2.0)           # then empty row

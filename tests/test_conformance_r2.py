@@ -13,6 +13,13 @@ import tulip_tpu as tlp
 from tulip_tpu.problem import INF
 from tulip_tpu.status import SolutionStatus, TerminationStatus
 
+from x4 import make_x4_fixture
+
+# Run every behavior in this module under the reference's four MOI.Test
+# configurations {HSD, MPC} x {presolve on/off}
+# (reference: test/Interfaces/MOI_wrapper.jl:24-92).
+_x4_config = make_x4_fixture()
+
 OPT = TerminationStatus.OPTIMAL
 
 

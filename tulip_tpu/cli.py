@@ -23,21 +23,15 @@ def _enable_compile_cache() -> None:
     bake in the compile host's instruction-set features, and loading an
     artifact from a different machine profile can SIGILL/segfault the
     process (observed: a cache written on an AVX512-profile host crashing
-    later compiles on this one)."""
+    later compiles on this one). On tunneled (axon) backends the helper
+    no-ops: executable serialization through the tunnel costs minutes."""
     import os
 
-    import jax
-
-    from .utils import xla_cache_dir
+    from .utils import enable_persistent_cache
 
     base = os.environ.get("TULIP_TPU_CACHE",
                           os.path.expanduser("~/.cache/tulip_tpu_xla"))
-    cache = xla_cache_dir(base)
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass  # older jax without the knobs
+    enable_persistent_cache(base)
 
 
 def main(argv=None) -> int:

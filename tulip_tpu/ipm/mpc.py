@@ -221,10 +221,15 @@ def compute_step_mpc(backend, opts: MPCOptions, dat: LPData, state: HSDState,
     ap, ad = max_step_length_pd(dat, pt, delta)
 
     # Corrector (step.jl:251-277).
+    # p = 0 (all variables free): no complementarity — mu_aff and the
+    # centering ratio are 0 by convention rather than 0/0 = NaN; sigma
+    # clamps to its sqeps floor and the corrector reduces to feasibility.
     mu_aff = (jnp.dot((pt.xl + ap * delta.xl) * lf, pt.zl + ad * delta.zl)
               + jnp.dot((pt.xu + ap * delta.xu) * uf,
-                        pt.zu + ad * delta.zu)) / p
-    sigma = jnp.clip((mu_aff / pt.mu) ** 3, sqeps, 1.0 - sqeps)
+                        pt.zu + ad * delta.zu)) / jnp.maximum(p, 1.0)
+    mu_ratio = jnp.where(pt.mu > 0, mu_aff / jnp.where(pt.mu > 0, pt.mu, 1.0),
+                         0.0)
+    sigma = jnp.clip(mu_ratio ** 3, sqeps, 1.0 - sqeps)
     delta_c = solve_newton_system_mpc(
         dat, pt, kkt_solve, rp, rl, ru, rd,
         (sigma * pt.mu - delta.xl * delta.zl - pt.xl * pt.zl) * lf,

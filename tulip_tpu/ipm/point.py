@@ -63,8 +63,10 @@ def update_mu(pt: Point, dat: LPData, hflag: bool = True) -> Point:
     (reference: src/IPM/point.jl:45-48)."""
     p = num_finite_bounds(dat)
     h = 1.0 if hflag else 0.0
+    # p + h = 0 (MPC on an all-free-variable LP): the numerator is exactly 0
+    # too — there is no complementarity — so mu := 0, not 0/0 = NaN.
     mu = (jnp.dot(pt.xl, pt.zl) + jnp.dot(pt.xu, pt.zu)
-          + h * pt.tau * pt.kappa) / (p + h)
+          + h * pt.tau * pt.kappa) / jnp.maximum(p + h, 1.0)
     return pt._replace(mu=mu)
 
 

@@ -50,3 +50,30 @@ def xla_cache_dir(base: str) -> str:
     import os
 
     return os.path.join(base, machine_fingerprint())
+
+
+def enable_persistent_cache(base: str) -> bool:
+    """Turn on jax's persistent compilation cache under a machine-keyed
+    subdir of ``base`` — unless the accelerator is reached through a
+    tunneled backend (axon), where it is actively harmful: XLA compiles in
+    seconds server-side, but SERIALIZING each compiled executable back
+    through the tunnel into the cache blocks for minutes per program
+    (measured: >300 s with the cache on vs 86 s end-to-end without, on the
+    2048-LP batched program; round 3's bench artifact was lost to this).
+
+    Returns True if the cache was enabled.
+    """
+    import jax
+
+    try:
+        from jax._src import xla_bridge
+        if "axon" in xla_bridge.backends():
+            return False
+    except Exception:
+        pass  # private-API drift: fall through and enable
+    try:
+        jax.config.update("jax_compilation_cache_dir", xla_cache_dir(base))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        return False  # older jax without the knobs
+    return True
