@@ -76,6 +76,8 @@ def flops_dense(state, m, n):
 
 
 def flops_banded(state, m, n):
+    if hasattr(state, "segs"):       # delegated to the level engine
+        return flops_sparse(state, m, n)
     nb, bw, _ = state.L.shape
     assemble = 4 * nb * bw * bw * n          # D_i and E_i blocks
     factor = nb * (bw ** 3 / 3 + bw ** 3 + 2 * bw ** 3)
@@ -83,7 +85,28 @@ def flops_banded(state, m, n):
     return assemble + factor + solve
 
 
+def _level_counts(state):
+    """(nbr, B, ntiles, nsub, nupd) from a level-scheduled state."""
+    ntiles = state.T.shape[0]
+    B = state.T.shape[1]
+    nbr = ntiles - sum(int(s.sub_ids.shape[0]) for s in state.segs)
+    nsub = ntiles - nbr
+    nupd = sum(int(s.u_a.shape[0]) for s in state.segs)
+    return nbr, B, ntiles, nsub, nupd
+
+
 def flops_sparse(state, m, n):
+    if hasattr(state, "segs"):       # level schedule (kkt/levels.py)
+        nbr, B, ntiles, nsub, nupd = _level_counts(state)
+        smax = state.sup_idx.shape[1]
+        # Support-compressed assembly: each tile contracts over the owner
+        # column's support only.
+        assemble = ntiles * 2 * B * B * smax
+        # chol + triangular inverse per pivot, GEMM per sub tile and per
+        # right-looking update.
+        factor = nbr * (B ** 3 / 3 + B ** 3) + (nsub + 2 * nupd) * B ** 3
+        solve = (nbr + nsub) * 4 * B * B
+        return assemble + factor + solve
     nbr, B, _ = state.Ap.shape
     cmax = state.col_ids.shape[1]
     umax = state.u_a.shape[1]
@@ -95,15 +118,24 @@ def flops_sparse(state, m, n):
 
 def flops_sparse_ldl(state, m, n):
     # K2 backend: nodes over N = n + m, signed blocked Cholesky.
+    # Nominal useful-flops convention for the default (inv_factor=True,
+    # constant-tile rescale assembly) path: the rescale is 3 elementwise
+    # passes over the tile store; pivot work is 2 masked Choleskys + the
+    # W TRSM + W Wᵀ GEMM + the U⁻¹ TRSM; L tiles and solves are GEMMs.
+    if hasattr(state, "segs"):       # level schedule
+        nbr, B, ntiles, nsub, nupd = _level_counts(state)
+        assemble = ntiles * 3 * B * B
+        factor = (nbr * (2 * B ** 3 / 3 + B ** 3 + 2 * B ** 3 + B ** 3)
+                  + (2 * nsub + 2 * nupd) * B ** 3)
+        solve = (nbr + nsub) * 4 * B * B
+        return assemble + factor + solve
     nbr = state.nodes.shape[0] - 1
     B = state.nodes.shape[1]
     cmax = state.col_ids.shape[1]
     umax = state.u_a.shape[1]
-    assemble = nbr * (cmax + 1) * 2 * B * B      # gather-dominated
-    # Per block column: 2 masked Choleskys + pivot TRSM + W Wᵀ GEMM,
-    # cmax batched TRSMs for the L tiles, umax GEMM updates.
-    factor = nbr * (2 * B ** 3 / 3 + 3 * B ** 3
-                    + cmax * B ** 3 + umax * 2 * B ** 3)
+    assemble = (nbr + 1 + nbr * cmax) * 3 * B * B    # rescale passes
+    factor = nbr * (2 * B ** 3 / 3 + B ** 3 + 2 * B ** 3 + B ** 3
+                    + cmax * 2 * B ** 3 + umax * 2 * B ** 3)
     solve = nbr * (4 * B * B + cmax * 4 * B * B)
     return assemble + factor + solve
 
@@ -111,9 +143,13 @@ def flops_sparse_ldl(state, m, n):
 def flops_smw(state, m, n):
     inner = flops_sparse(state.inner, m, n)
     k = state.U.shape[1]
-    nbr, B, _ = state.inner.Ap.shape
-    cmax = state.inner.col_ids.shape[1]
-    extra_solves = k * 2 * nbr * (1 + cmax) * 2 * B * B   # V = B^-1 U
+    if hasattr(state.inner, "segs"):
+        nbr, B, ntiles, nsub, _ = _level_counts(state.inner)
+        extra_solves = k * (nbr + nsub) * 4 * B * B       # V = B^-1 U
+    else:
+        nbr, B, _ = state.inner.Ap.shape
+        cmax = state.inner.col_ids.shape[1]
+        extra_solves = k * 2 * nbr * (1 + cmax) * 2 * B * B
     small = 2 * m * k * k + k ** 3 / 3
     return inner + extra_solves + small + 4 * m * k
 

@@ -207,9 +207,16 @@ def test_banded_backend():
     perm, bw = rcm_bandwidth(A)
     assert bw < m // 4  # genuinely banded
 
+    from tulip_tpu.kkt.sparse import SparseK1LevelState
+
+    # Default schedule routes through the shared level engine; the scan
+    # path stays available as schedule="scan".
     backend = BandedK1Backend(min_block=32)
     st = backend.setup(jnp.asarray(A))
-    assert isinstance(st, BandedK1State)
+    assert isinstance(st, (BandedK1State, SparseK1LevelState))
+    st_scan = BandedK1Backend(min_block=32, schedule="scan").setup(
+        jnp.asarray(A))
+    assert isinstance(st_scan, BandedK1State)
 
     theta_inv = jnp.asarray(10.0 ** rng.uniform(-2, 2, n))
     regP = jnp.full(n, 1e-8)
@@ -296,9 +303,14 @@ def test_sparse_tiled_backend():
         t = (s + 1) % stages
         A[s*mr:(s+1)*mr, t*nc:(t+1)*nc] = rng.standard_normal((mr, nc))
 
+    from tulip_tpu.kkt.sparse import SparseK1LevelState
+
     be = SparseK1Backend(block=16, refinement_steps=1)
     st = be.setup(jnp.asarray(A))
-    assert isinstance(st, SparseK1State)
+    assert isinstance(st, SparseK1LevelState)      # default: level schedule
+    be_col = SparseK1Backend(block=16, refinement_steps=1,
+                             schedule="column")
+    assert isinstance(be_col.setup(jnp.asarray(A)), SparseK1State)
     theta_inv = jnp.asarray(10.0 ** rng.uniform(-3, 3, n))
     st, ok = be.update(st, theta_inv, jnp.full(n, 1e-8), jnp.full(m, 1e-8))
     assert bool(ok)
@@ -316,7 +328,8 @@ def test_sparse_tiled_backend():
     A2[:, :10] = rng.standard_normal((64, 10))
     for k in range(4):
         A2[k*16:(k+1)*16, 10+k*20:10+(k+1)*20] = rng.standard_normal((16, 20))
-    assert not isinstance(be.setup(jnp.asarray(A2)), SparseK1State)
+    assert not isinstance(be.setup(jnp.asarray(A2)),
+                          (SparseK1State, SparseK1LevelState))
 
 
 def test_sparse_end_to_end_staircase():

@@ -90,7 +90,15 @@ def test_large_dense_column_k2_sparse_ldl():
     st = mod.optimize()
     assert st == TerminationStatus.OPTIMAL
     assert mod.kkt_backend.name == "sparse-ldl"
+    # The tiled path must actually have been taken (SparseK2Backend.setup
+    # silently falls back to the dense-ldl state when the tile planner
+    # gates out — that fallback would also report name == "sparse-ldl").
+    import jax.numpy as jnp
+
     from tulip_tpu.kkt.sparse_ldl import SparseK2State
+    A_dense = A.toarray() if hasattr(A, "toarray") else np.asarray(A)
+    assert isinstance(
+        mod.kkt_backend.setup(jnp.asarray(A_dense)), SparseK2State)
     z = tlp.get_attribute(mod, "ObjectiveValue")
     z_ref = highs_optimum(A, b, c, u)
     assert abs(z - z_ref) <= 1e-7 * max(1.0, abs(z_ref))

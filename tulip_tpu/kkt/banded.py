@@ -35,6 +35,7 @@ import numpy as np
 
 from .base import KKTBackend
 from .dense import DenseK1Backend, DenseK1State
+from .sparse import SparseK1Backend, SparseK1LevelState
 
 
 def rcm_bandwidth(A: np.ndarray, use_native: bool = True,
@@ -99,14 +100,25 @@ class BandedK1Backend(KKTBackend):
     # The symbolic bandwidth is rounded up to a multiple of this (MXU tile
     # friendliness).
     min_block: int = 64
+    # "level": execute through the shared nested-dissection level engine
+    # (kkt/levels.py via kkt/sparse.py) — the band's elimination chain
+    # becomes a log-depth tree of batched tile ops. "scan": the round-3
+    # sequential block-tridiagonal lax.scan.
+    schedule: str = "level"
 
     def _dense(self) -> DenseK1Backend:
         return DenseK1Backend(inv_factor=True,
                               refinement_steps=self.refinement_steps)
 
+    def _level(self, block: int) -> SparseK1Backend:
+        return SparseK1Backend(block=block, schedule="level",
+                               refinement_steps=self.refinement_steps)
+
     def arithmetic(self, state) -> str:
-        return str(state.Ap.dtype if isinstance(state, BandedK1State)
-                   else state.A.dtype)
+        if isinstance(state, (BandedK1State, SparseK1LevelState)):
+            return str(state.Ap.dtype if isinstance(state, BandedK1State)
+                       else state.Apc.dtype)
+        return str(state.A.dtype)
 
     def linear_system(self) -> str:
         return "Normal equations (K1), RCM block-tridiagonal"
@@ -120,6 +132,12 @@ class BandedK1Backend(KKTBackend):
                        -(-max(bw, 1) // self.min_block) * self.min_block)
         if 2 * bw_block >= m:
             return self._dense().setup(A)  # no banded advantage
+        if self.schedule == "level":
+            # Bandwidth-sized tiles through the shared level engine; the
+            # gate may reject (tiny chains), then keep the scan path.
+            st = self._level(min(bw_block, 128)).setup(A_np)
+            if isinstance(st, SparseK1LevelState):
+                return st
         nb = -(-m // bw_block)
         Ap = np.zeros((nb * bw_block, n), dtype=A_np.dtype)
         Ap[:m] = A_np[perm]
@@ -138,6 +156,9 @@ class BandedK1Backend(KKTBackend):
     def update(self, state, theta_inv, regP, regD):
         if isinstance(state, DenseK1State):
             return self._dense().update(state, theta_inv, regP, regD)
+        if isinstance(state, SparseK1LevelState):
+            return self._level(self.min_block).update(
+                state, theta_inv, regP, regD)
         st = state
         nb, bw, n = st.Ap.shape
         theta_reg = theta_inv + regP
@@ -203,7 +224,11 @@ class BandedK1Backend(KKTBackend):
                              reverse=True)
         return jnp.concatenate([xs, x_last[None]])
 
-    def _base_solve(self, st: BandedK1State, xi_p, xi_d):
+    def _base_solve(self, st, xi_p, xi_d):
+        if isinstance(st, DenseK1State):
+            return self._dense()._base_solve(st, xi_p, xi_d)
+        if isinstance(st, SparseK1LevelState):
+            return self._level(self.min_block)._base_solve(st, xi_p, xi_d)
         d = st.d
         rhs_b = _to_blocked(st, xi_p) + jnp.einsum(
             "bij,j->bi", st.Ap, d * xi_d)
@@ -215,6 +240,8 @@ class BandedK1Backend(KKTBackend):
     def solve(self, state, xi_p, xi_d):
         if isinstance(state, DenseK1State):
             return self._dense().solve(state, xi_p, xi_d)
+        if isinstance(state, SparseK1LevelState):
+            return self._level(self.min_block).solve(state, xi_p, xi_d)
         st = state
         dx, dy = self._base_solve(st, xi_p, xi_d)
         regD_unperm = _from_blocked(st, st.regD)

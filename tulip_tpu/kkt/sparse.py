@@ -37,6 +37,8 @@ import numpy as np
 
 from .base import KKTBackend
 from .dense import DenseK1Backend, DenseK1State
+from .levels import (build_level_plan, level_bwd, level_factor_spd,
+                     level_fwd, nd_block_order, tile_fill)
 
 
 def tile_plan(A_np: np.ndarray, block: int, use_native: bool = True):
@@ -146,6 +148,98 @@ def symbolic_schedule(bi, bj, nbr, gate: float = 0.5):
                 u_a=u_a, u_b=u_b, u_tgt=u_tgt)
 
 
+def k1_level_plan(A_np: np.ndarray, block: int, gate: float = 0.5,
+                  use_native: bool = True):
+    """Host symbolic phase for the LEVEL-SCHEDULED K1 backend.
+
+    Like :func:`tile_plan` (scalar RCM on the K = A Aᵀ pattern) but the
+    block rows are re-ordered by nested dissection over the tile graph so
+    the numeric factorization runs in O(log nb) batched levels
+    (kkt/levels.py) instead of nb sequential block-column steps.
+
+    Also emits the per-block-row COLUMN SUPPORT of A (``sup_idx``), so
+    tile assembly contracts each A_i D A_jᵀ tile over the owner column's
+    support instead of all n columns (the assembly is where K1's flops
+    live; the support is padded with ``n``, pointing at a zero column).
+
+    Returns None if tiling (or the support compression) gives no
+    advantage, else a dict.
+    """
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    m, n = A_np.shape
+    B = block
+    pattern = sp.csr_matrix((np.abs(A_np) > 0).astype(np.int32))
+    Kpat = (pattern @ pattern.T).tocsr()
+    perm0 = np.asarray(reverse_cuthill_mckee(Kpat, symmetric_mode=True))
+    nbr = -(-m // B)
+    if nbr <= 2:
+        return None
+
+    Kp = Kpat[perm0][:, perm0].tocoo()
+    bi0 = Kp.row // B
+    bj0 = Kp.col // B
+    # The partial final block (m % B != 0) must stay LAST: the composed
+    # scalar permutation concatenates whole blocks, so a short block in
+    # the middle would shift every later block boundary off the tile
+    # coordinates (observed as numerically-nonzero K tiles missing from
+    # the symbolic plan on a 2080-row block-angular LP).
+    last_blocks = [nbr - 1] if m % B else []
+    order = nd_block_order(bi0, bj0, nbr, last=last_blocks)
+    binv = np.empty(nbr, np.int64)
+    binv[order] = np.arange(nbr)
+
+    # Composed scalar permutation: RCM rows regrouped in ND block order
+    # (the last, possibly partial, RCM block keeps its identity).
+    blocks0 = [perm0[k * B:(k + 1) * B] for k in range(nbr)]
+    perm = np.concatenate([blocks0[b] for b in order]).astype(np.int64)
+
+    col_rows = tile_fill(binv[bi0], binv[bj0], nbr)
+    ntiles = nbr + sum(len(c) for c in col_rows)
+    if ntiles >= gate * (nbr * (nbr + 1) // 2):
+        return None
+    plan = build_level_plan(col_rows, nbr)
+
+    # Column support per (ND-ordered) block row of A.
+    Aperm = pattern[perm]          # csr, rows in elimination order
+    sups = []
+    for j in range(nbr):
+        rows = Aperm[j * B:min((j + 1) * B, m)]
+        sups.append(np.unique(rows.indices))
+    smax = max((len(s) for s in sups), default=1)
+    smax = max(smax, 1)
+    if smax > n // 2:
+        return None                # support compression gives no advantage
+    sup_idx = np.full((nbr, smax), n, np.int32)
+    for j, s in enumerate(sups):
+        sup_idx[j, :len(s)] = s
+    return dict(perm=perm, plan=plan, sup_idx=sup_idx)
+
+
+class SparseK1LevelState(NamedTuple):
+    """Level-scheduled variant of :class:`SparseK1State`.
+
+    The dense (nbr, B, n) row-block store of the column path is GONE:
+    every operand that touches A is precomputed in support-compressed
+    form at setup (A's values never change across IPM iterations), so an
+    ``update`` is one batched assembly einsum over constants + the level
+    factorization, and matvecs contract over each block row's column
+    support only."""
+
+    Apc: jnp.ndarray          # (nbr, B, smax) support-compressed rows
+    sup_idx: jnp.ndarray      # (nbr, smax) int32 column support (pad = n)
+    Rg0: jnp.ndarray          # (ntiles, smax, B) row-side tile operand
+    Oc0: jnp.ndarray          # (ntiles, B, smax) col-side tile operand
+    tile_bcol: jnp.ndarray    # (ntiles,) owner block column per tile
+    perm: jnp.ndarray         # (m,) int32
+    d: jnp.ndarray            # (n,)
+    theta_reg: jnp.ndarray    # (n,)
+    regD: jnp.ndarray         # (nbr, B) permuted/padded (1.0 on padding)
+    T: jnp.ndarray            # (ntiles, B, B) tile store
+    segs: tuple               # Tuple[LevelSeg, ...]
+
+
 class SparseK1State(NamedTuple):
     """Static tile schedule + numeric factors.
 
@@ -175,13 +269,22 @@ class SparseK1Backend(KKTBackend):
     name = "sparse"
     systems = ("K1",)
     block: int = 64
+    # "level": nested-dissection block ordering + elimination-level batched
+    # execution with support-compressed assembly (kkt/levels.py);
+    # "column": the round-3 fori_loop over block columns.
+    schedule: str = "level"
+    # Store L_j⁻¹ per pivot tile and run L-tile formation and the fwd/bwd
+    # solves as GEMMs (TRSMs don't map to the MXU); accuracy restored by
+    # the shared refinement sweeps. Only used by the level schedule.
+    inv_factor: bool = True
 
     def _dense(self) -> DenseK1Backend:
         return DenseK1Backend(inv_factor=True,
                               refinement_steps=self.refinement_steps)
 
     def arithmetic(self, state) -> str:
-        return str(state.Ap.dtype if isinstance(state, SparseK1State)
+        return str(state.Ap.dtype
+                   if isinstance(state, (SparseK1State, SparseK1LevelState))
                    else state.A.dtype)
 
     def linear_system(self) -> str:
@@ -191,6 +294,12 @@ class SparseK1Backend(KKTBackend):
     def setup(self, A: jnp.ndarray):
         A_np = np.asarray(A)
         m, n = A_np.shape
+        if self.schedule == "level":
+            lv = k1_level_plan(A_np, self.block)
+            if lv is not None:
+                return self._setup_level(A_np, lv)
+            # ND fill can trip the gate where the RCM column plan does
+            # not (small chains): fall through to the column schedule.
         plan = tile_plan(A_np, self.block)
         if plan is None:
             return self._dense().setup(A)
@@ -213,21 +322,105 @@ class SparseK1Backend(KKTBackend):
             u_tgt=jnp.asarray(plan["u_tgt"]),
         )
 
+    def _setup_level(self, A_np, lv):
+        m, n = A_np.shape
+        B = self.block
+        plan = lv["plan"]
+        perm = lv["perm"]
+        sup_idx = lv["sup_idx"]
+        nbr = -(-m // B)
+        dt = jnp.asarray(A_np[:1, :1]).dtype
+        Ap = np.zeros((nbr * B, n + 1), dtype=A_np.dtype)
+        Ap[:m, :n] = A_np[perm]
+        Ap = Ap.reshape(nbr, B, n + 1)
+        # Support-compressed row blocks (pad column n reads as zero).
+        Apc = np.take_along_axis(Ap, sup_idx[:, None, :], axis=2)
+        # Constant per-tile assembly operands: tile (i, j) contracts
+        # A_i[:, sup(j)] against A_j[:, sup(j)] — both never change.
+        Rg0 = Ap[plan.tile_brow[:, None], :,
+                 sup_idx[plan.tile_bcol]]            # (ntiles, smax, B)
+        Oc0 = Apc[plan.tile_bcol]                    # (ntiles, B, smax)
+        return SparseK1LevelState(
+            Apc=jnp.asarray(Apc),
+            sup_idx=jnp.asarray(sup_idx),
+            Rg0=jnp.asarray(Rg0),
+            Oc0=jnp.asarray(Oc0),
+            tile_bcol=jnp.asarray(plan.tile_bcol),
+            perm=jnp.asarray(perm, jnp.int32),
+            d=jnp.ones(n, dt),
+            theta_reg=jnp.ones(n, dt),
+            regD=jnp.ones((nbr, B), dt),
+            T=jnp.zeros((plan.ntiles, B, B), dt),
+            segs=plan.segs,
+        )
+
     # -- helpers ----------------------------------------------------------
-    def _to_blocked(self, st: SparseK1State, v):
+    def _to_blocked(self, st, v):
         m = st.perm.shape[0]
-        nbr, B, _ = st.Ap.shape
+        nbr, B = st.regD.shape
         return jnp.pad(v[st.perm], (0, nbr * B - m)).reshape(nbr, B)
 
-    def _from_blocked(self, st: SparseK1State, vb):
+    def _from_blocked(self, st, vb):
         m = st.perm.shape[0]
         flat = vb.reshape(-1)[:m]
         return jnp.zeros(m, vb.dtype).at[st.perm].set(flat)
 
+    def _A_blocked(self, st: SparseK1LevelState, x):
+        """A x per (permuted) block row via the compressed supports."""
+        xs = jnp.concatenate([x, jnp.zeros(1, x.dtype)])[st.sup_idx]
+        return jnp.einsum("bis,bs->bi", st.Apc, xs)
+
+    def _AT_blocked(self, st: SparseK1LevelState, yb):
+        """Aᵀ y for a blocked y via scatter-add over the supports."""
+        n = st.d.shape[0]
+        contrib = jnp.einsum("bis,bi->bs", st.Apc, yb)
+        return jnp.zeros(n + 1, yb.dtype).at[
+            st.sup_idx.ravel()].add(contrib.ravel())[:n]
+
     # -- device numeric ---------------------------------------------------
+    def _update_level(self, st: SparseK1LevelState, theta_inv, regP, regD):
+        nbr, B = st.regD.shape
+        dt = st.Apc.dtype
+        theta_reg = theta_inv + regP
+        d = 1.0 / theta_reg
+        regDb = self._to_blocked(st, regD)
+        m = st.perm.shape[0]
+        pad_mask = (jnp.arange(nbr * B) >= m).reshape(nbr, B)
+        regDb = jnp.where(pad_mask, 1.0, regDb)
+
+        # Support-compressed assembly of ALL tiles in one batched einsum
+        # over the CONSTANT setup-time operands: tile (i, j) = A_i diag(d)
+        # A_jᵀ contracted over column j's support only; just d changes.
+        d_ext = jnp.concatenate([d, jnp.zeros(1, dt)])
+        ds = d_ext[st.sup_idx[st.tile_bcol]]          # (ntiles, smax)
+        T = jnp.einsum("tsb,tcs,ts->tbc", st.Rg0, st.Oc0, ds)
+        eye = jnp.eye(B, dtype=dt)
+        T = T.at[:nbr].add(eye[None, :, :] * regDb[:, :, None])
+
+        T, ok = level_factor_spd(T, st.segs, inv_factor=self.inv_factor)
+        new = st._replace(d=d, theta_reg=theta_reg, regD=regDb, T=T)
+        return new, ok
+
+    def _solve_K_blocked(self, st, rhs_b):
+        """(P K Pᵀ) y = rhs for a blocked rhs, either schedule."""
+        if isinstance(st, SparseK1LevelState):
+            u = level_fwd(st.T, st.segs, rhs_b, inv_factor=self.inv_factor)
+            return level_bwd(st.T, st.segs, u, inv_factor=self.inv_factor)
+        return self._tile_solve_K(st, rhs_b)
+
+    def _base_solve_level(self, st: SparseK1LevelState, xi_p, xi_d):
+        d = st.d
+        rhs_b = self._to_blocked(st, xi_p) + self._A_blocked(st, d * xi_d)
+        y_b = self._solve_K_blocked(st, rhs_b)
+        dy = self._from_blocked(st, y_b)
+        dx = d * (self._AT_blocked(st, y_b) - xi_d)
+        return dx, dy
+
     def update(self, state, theta_inv, regP, regD):
         if isinstance(state, DenseK1State):
             return self._dense().update(state, theta_inv, regP, regD)
+        if isinstance(state, SparseK1LevelState):
+            return self._update_level(state, theta_inv, regP, regD)
         st = state
         nbr, B, n = st.Ap.shape
         ntiles_p1 = st.T.shape[0]
@@ -315,7 +508,9 @@ class SparseK1Backend(KKTBackend):
                               jnp.zeros((nbr + 1, B), rhs_b.dtype))
         return x[:nbr]
 
-    def _base_solve(self, st: SparseK1State, xi_p, xi_d):
+    def _base_solve(self, st, xi_p, xi_d):
+        if isinstance(st, SparseK1LevelState):
+            return self._base_solve_level(st, xi_p, xi_d)
         d = st.d
         rhs_b = self._to_blocked(st, xi_p) + jnp.einsum(
             "bij,j->bi", st.Ap, d * xi_d)
@@ -324,9 +519,24 @@ class SparseK1Backend(KKTBackend):
         dx = d * (jnp.einsum("bij,bi->j", st.Ap, y_b) - xi_d)
         return dx, dy
 
+    def _solve_level(self, st: SparseK1LevelState, xi_p, xi_d):
+        dx, dy = self._base_solve_level(st, xi_p, xi_d)
+        regD_unperm = self._from_blocked(st, st.regD)
+        for _ in range(self.refinement_steps):
+            Adx = self._from_blocked(st, self._A_blocked(st, dx))
+            ATdy = self._AT_blocked(st, self._to_blocked(st, dy))
+            rp = xi_p - (Adx + regD_unperm * dy)
+            rd = xi_d - (-(st.theta_reg * dx) + ATdy)
+            ddx, ddy = self._base_solve_level(st, rp, rd)
+            dx = dx + ddx
+            dy = dy + ddy
+        return dx, dy
+
     def solve(self, state, xi_p, xi_d):
         if isinstance(state, DenseK1State):
             return self._dense().solve(state, xi_p, xi_d)
+        if isinstance(state, SparseK1LevelState):
+            return self._solve_level(state, xi_p, xi_d)
         st = state
         dx, dy = self._base_solve(st, xi_p, xi_d)
         regD_unperm = self._from_blocked(st, st.regD)

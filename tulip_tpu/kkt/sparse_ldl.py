@@ -57,6 +57,9 @@ import numpy as np
 
 from .base import KKTBackend
 from .dense_ldl import DenseK2Backend, DenseK2State
+from .levels import (LevelSeg, build_level_plan, level_bwd,
+                     level_factor_signed, level_fwd, nd_block_order,
+                     tile_fill)
 from .sparse import symbolic_schedule
 
 
@@ -67,12 +70,9 @@ def dense_threshold(dim: int) -> float:
     return max(32.0, 0.4 * dim)
 
 
-def k2_tile_plan(A_np: np.ndarray, block: int, gate: float = 0.5):
-    """Host symbolic phase for the augmented system.
-
-    Returns None if tiling gives no advantage, else a dict with the node
-    permutation (dense-degree nodes last, RCM on the rest) and the padded
-    static tile schedule."""
+def _k2_pattern_perm(A_np: np.ndarray):
+    """Shared host symbolic front end: K2 pattern + dense-last RCM node
+    permutation. Returns (K2 csr pattern, perm0, N, n_dense)."""
     import scipy.sparse as sp
     from scipy.sparse.csgraph import reverse_cuthill_mckee
 
@@ -101,6 +101,17 @@ def k2_tile_plan(A_np: np.ndarray, block: int, gate: float = 0.5):
     psub = np.asarray(reverse_cuthill_mckee(sub, symmetric_mode=True))
     perm = np.concatenate([sparse_nodes[psub],
                            dense_nodes]).astype(np.int64)
+    return K2, perm, N, len(dense_nodes)
+
+
+def k2_tile_plan(A_np: np.ndarray, block: int, gate: float = 0.5):
+    """Host symbolic phase for the augmented system (column schedule).
+
+    Returns None if tiling gives no advantage, else a dict with the node
+    permutation (dense-degree nodes last, RCM on the rest) and the padded
+    static tile schedule."""
+    m, n = A_np.shape
+    K2, perm, N, _ = _k2_pattern_perm(A_np)
 
     # Within-tile x-first sort: reorder each B-lane tile so x nodes
     # (< n, pivot sign −1) precede y nodes (sign +1). Tile membership —
@@ -120,6 +131,73 @@ def k2_tile_plan(A_np: np.ndarray, block: int, gate: float = 0.5):
     sched["perm"] = perm
     sched["N"] = N
     return sched
+
+
+def k2_level_plan(A_np: np.ndarray, block: int, gate: float = 0.5):
+    """Host symbolic phase for the LEVEL-SCHEDULED augmented system.
+
+    Like :func:`k2_tile_plan` but the block rows are re-ordered by nested
+    dissection over the tile graph (dense-node block rows forced last), so
+    the numeric factorization runs in O(log nb) batched levels instead of
+    nb sequential block-column steps (kkt/levels.py).
+
+    Returns None if tiling gives no advantage, else
+    (nodes_np (nbr, B), LevelPlan, N).
+    """
+    m, n = A_np.shape
+    B = block
+    K2, perm0, N, n_dense = _k2_pattern_perm(A_np)
+    nbr = -(-N // B)
+    if nbr <= 2:
+        return None
+
+    # Lane layout in perm0 block order; padding lanes get unique ids >= N.
+    ext_len = nbr * B
+    node_ids = np.concatenate(
+        [perm0, N + np.arange(ext_len - N)]).astype(np.int32)
+    nodes0 = node_ids.reshape(nbr, B)
+
+    # Tile pattern in perm0 block coordinates.
+    Kp = K2[perm0][:, perm0].tocoo()
+    bi0 = Kp.row // B
+    bj0 = Kp.col // B
+    # Dense nodes sit at the end of perm0: their block rows are forced to
+    # eliminate last (the root separator in the level schedule).
+    first_dense_block = (N - n_dense) // B if n_dense else nbr
+    last_blocks = range(first_dense_block, nbr)
+    order = nd_block_order(bi0, bj0, nbr, last=last_blocks)
+    binv = np.empty(nbr, np.int64)
+    binv[order] = np.arange(nbr)
+
+    nodes_np = nodes0[order]
+    # Within-tile x-first sort (see k2_tile_plan): padding ids >= N sort
+    # with the y/+1 group, which is what their identity pivots need.
+    for j in range(nbr):
+        lane = nodes_np[j]
+        nodes_np[j] = lane[np.argsort(lane >= n, kind="stable")]
+
+    col_rows = tile_fill(binv[bi0], binv[bj0], nbr)
+    ntiles = nbr + sum(len(c) for c in col_rows)
+    if ntiles >= gate * (nbr * (nbr + 1) // 2):
+        return None
+    return nodes_np, build_level_plan(col_rows, nbr), N
+
+
+class SparseK2LevelState(NamedTuple):
+    """Level-scheduled variant of :class:`SparseK2State`: same tile store
+    semantics, but the schedule is the exact per-level index arrays of
+    :class:`~tulip_tpu.kkt.levels.LevelPlan` (no dummy tile, no padding)."""
+
+    A: jnp.ndarray            # (m, n) original constraint matrix
+    nodes: jnp.ndarray        # (nbr, B) int32 node id per lane (pad >= N)
+    theta_reg: jnp.ndarray    # (n,)
+    regD: jnp.ndarray         # (m,)
+    scale: jnp.ndarray        # (nbr*B,) Jacobi scale per node id
+    T: jnp.ndarray            # (ntiles, B, B) tile store
+    T0: jnp.ndarray           # (ntiles, B, B) constant off-diag K2 tiles
+    tile_brow: jnp.ndarray    # (ntiles,)
+    tile_bcol: jnp.ndarray    # (ntiles,)
+    segs: tuple               # Tuple[LevelSeg, ...]
 
 
 class SparseK2State(NamedTuple):
@@ -156,6 +234,17 @@ class SparseK2Backend(KKTBackend):
     systems = ("K2",)
     block: int = 64
     jacobi_scale: bool = True
+    # "column" (DEFAULT): the RCM-ordered fori_loop over block columns.
+    # "level": nested-dissection block ordering + elimination-level batched
+    # execution (kkt/levels.py). Level stays opt-in for K2: the signed
+    # (quasi-definite) factorization is only norm-stable along orderings
+    # with local Schur complements — measured on the m=2048 staircase, the
+    # ND order loses ~4 decimal digits vs RCM (augmented residual 1e-7 vs
+    # 6e-14 in f64) and overflows f32 at m=8192, because separator Schur
+    # complements accumulate mixed-sign growth that the chain order keeps
+    # local. SPD K1 (kkt/sparse.py) has no such issue — Cholesky is
+    # permutation-stable — which is why level IS its default.
+    schedule: str = "column"
     # Store U_j⁻¹ (triangular inverse, ONE extra TRSM per block column)
     # and run the per-column L-tile formation and the fwd/bwd solves as
     # GEMMs instead of batched TRSMs — TRSMs don't map to the MXU and
@@ -185,6 +274,11 @@ class SparseK2Backend(KKTBackend):
     def setup(self, A: jnp.ndarray):
         A_np = np.asarray(A)
         m, n = A_np.shape
+        if self.schedule == "level":
+            lv = k2_level_plan(A_np, self.block)
+            if lv is not None:
+                return self._setup_level(A, A_np, lv)
+            # fall through to the column schedule
         plan = k2_tile_plan(A_np, self.block)
         if plan is None:
             return self._dense().setup(A)
@@ -255,10 +349,112 @@ class SparseK2Backend(KKTBackend):
             u_tgt=jnp.asarray(plan["u_tgt"]),
         )
 
+    def _setup_level(self, A, A_np, lv):
+        """State construction for the level schedule: same constant-tile
+        (T0) precompute as the column path, exact tile lists."""
+        m, n = A_np.shape
+        nodes_np, plan, N = lv
+        nbr, B = nodes_np.shape
+        dt = A.dtype
+        ntiles = plan.ntiles
+
+        Aext = np.zeros((m + 1, n + 1), A_np.dtype)
+        Aext[:m, :n] = A_np
+
+        def off_vals(rn, cn):
+            r_y = (rn >= n) & (rn < N)
+            r_x = rn < n
+            c_y = (cn >= n) & (cn < N)
+            c_x = cn < n
+            ar = np.where(r_y, rn - n, m)
+            ac = np.where(c_x, cn, n)
+            v_yx = Aext[ar[:, None], ac[None, :]]
+            ar2 = np.where(c_y, cn - n, m)
+            ac2 = np.where(r_x, rn, n)
+            v_xy = Aext[ar2[None, :], ac2[:, None]]
+            return (np.where(r_y[:, None] & c_x[None, :], v_yx, 0.0)
+                    + np.where(r_x[:, None] & c_y[None, :], v_xy, 0.0))
+
+        T0 = np.zeros((ntiles, B, B), A_np.dtype)
+        for t in range(ntiles):
+            T0[t] = off_vals(nodes_np[plan.tile_brow[t]],
+                             nodes_np[plan.tile_bcol[t]])
+
+        return SparseK2LevelState(
+            A=A,
+            nodes=jnp.asarray(nodes_np),
+            theta_reg=jnp.ones(n, dt),
+            regD=jnp.ones(m, dt),
+            scale=jnp.ones(nbr * B, dt),
+            T=jnp.zeros((ntiles, B, B), dt),
+            T0=jnp.asarray(T0.astype(A_np.dtype)),
+            tile_brow=jnp.asarray(plan.tile_brow),
+            tile_bcol=jnp.asarray(plan.tile_bcol),
+            segs=plan.segs,
+        )
+
     # -- device numeric ---------------------------------------------------
+    def _scale_diag(self, st, theta_inv, regP, regD, n, m, ext_len, dt):
+        """Jacobi scale + diagonal value vectors, indexed by node id."""
+        theta_reg = theta_inv + regP
+        N = n + m
+        if self.jacobi_scale:
+            scale = jnp.concatenate(
+                [1.0 / jnp.sqrt(theta_reg), 1.0 / jnp.sqrt(regD),
+                 jnp.ones(ext_len - N, dt)])
+            diagval = jnp.concatenate(
+                [jnp.full(n, -1.0, dt), jnp.ones(ext_len - n, dt)])
+        else:
+            scale = jnp.ones(ext_len, dt)
+            diagval = jnp.concatenate(
+                [-theta_reg, regD, jnp.ones(ext_len - N, dt)])
+        return theta_reg, scale, diagval
+
+    def _update_level(self, st: SparseK2LevelState, theta_inv, regP, regD):
+        m, n = st.A.shape
+        nbr, B = st.nodes.shape
+        dt = st.A.dtype
+        theta_reg, scale, diagval = self._scale_diag(
+            st, theta_inv, regP, regD, n, m, nbr * B, dt)
+
+        # Assemble: rescale the constant tiles + set the diagonal (one
+        # vectorized pass, identical to the column path).
+        Srow = scale[st.nodes[st.tile_brow]]          # (ntiles, B)
+        Scol = scale[st.nodes[st.tile_bcol]]
+        T = st.T0 * Srow[:, :, None] * Scol[:, None, :]
+        eye = jnp.eye(B, dtype=dt)
+        dg = diagval[st.nodes]                        # (nbr, B)
+        T = T.at[:nbr].add(eye[None, :, :] * dg[:, :, None])
+
+        sgn = jnp.where(st.nodes < n, -1.0, 1.0).astype(dt)   # (nbr, B)
+        T, ok = level_factor_signed(T, st.segs, lambda cols: sgn[cols],
+                                    inv_factor=self.inv_factor)
+        new = st._replace(theta_reg=theta_reg, regD=regD, scale=scale, T=T)
+        return new, ok
+
+    def _base_solve_level(self, st: SparseK2LevelState, xi_p, xi_d):
+        m, n = st.A.shape
+        N = n + m
+        nbr, B = st.nodes.shape
+        dt = st.A.dtype
+        ext_len = nbr * B
+        rhs_ext = (jnp.zeros(ext_len, dt).at[:n].set(xi_d)
+                   .at[n:N].set(xi_p)) * st.scale
+        rhs_b = rhs_ext[st.nodes]                     # (nbr, B)
+        sgn = jnp.where(st.nodes < n, -1.0, 1.0).astype(dt)
+
+        u = level_fwd(st.T, st.segs, rhs_b, inv_factor=self.inv_factor)
+        v = u * sgn                                   # Σ⁻¹ = Σ
+        x = level_bwd(st.T, st.segs, v, inv_factor=self.inv_factor)
+        sol_ext = jnp.zeros(ext_len, dt).at[
+            st.nodes.ravel()].set(x.ravel()) * st.scale
+        return sol_ext[:n], sol_ext[n:N]
+
     def update(self, state, theta_inv, regP, regD):
         if isinstance(state, DenseK2State):
             return self._dense().update(state, theta_inv, regP, regD)
+        if isinstance(state, SparseK2LevelState):
+            return self._update_level(state, theta_inv, regP, regD)
         st = state
         m, n = st.A.shape
         N = n + m
@@ -360,7 +556,12 @@ class SparseK2Backend(KKTBackend):
         return new, ok
 
     # -- solve ------------------------------------------------------------
-    def _base_solve(self, st: SparseK2State, xi_p, xi_d):
+    def _base_solve(self, st, xi_p, xi_d):
+        if isinstance(st, SparseK2LevelState):
+            return self._base_solve_level(st, xi_p, xi_d)
+        return self._base_solve_column(st, xi_p, xi_d)
+
+    def _base_solve_column(self, st: SparseK2State, xi_p, xi_d):
         m, n = st.A.shape
         N = n + m
         nbr = st.nodes.shape[0] - 1

@@ -36,7 +36,7 @@ import numpy as np
 
 from .base import KKTBackend
 from .dense import DenseK1Backend, DenseK1State
-from .sparse import SparseK1Backend, SparseK1State, tile_plan
+from .sparse import SparseK1Backend, SparseK1LevelState, SparseK1State
 from .sparse_ldl import dense_threshold
 
 
@@ -58,11 +58,15 @@ class SplitK1Backend(KKTBackend):
     name = "sparse-smw"
     systems = ("K1",)
     block: int = 64
+    # Forwarded to the inner tiled-K1 backend (kkt/sparse.py): "level" =
+    # elimination-level batched execution, "column" = fori_loop schedule.
+    schedule: str = "level"
 
     def _inner(self) -> SparseK1Backend:
         # Refinement runs at THIS level on the full A; the inner backend's
         # tile solves are used raw.
-        return SparseK1Backend(block=self.block, refinement_steps=0)
+        return SparseK1Backend(block=self.block, refinement_steps=0,
+                               schedule=self.schedule)
 
     def _dense(self) -> DenseK1Backend:
         return DenseK1Backend(inv_factor=True,
@@ -86,10 +90,8 @@ class SplitK1Backend(KKTBackend):
             return self._dense().setup(A)
         As_np = A_np.copy()
         As_np[:, dense_idx] = 0.0
-        if tile_plan(As_np, self.block) is None:
-            return self._dense().setup(A)
-        inner = self._inner().setup(jnp.asarray(As_np))
-        if not isinstance(inner, SparseK1State):
+        inner = self._inner().setup(As_np)
+        if not isinstance(inner, (SparseK1State, SparseK1LevelState)):
             return self._dense().setup(A)
         k = dense_idx.size
         dt = A.dtype
@@ -119,7 +121,7 @@ class SplitK1Backend(KKTBackend):
         def bsolve(u):
             rhs_b = inner_be._to_blocked(inner, u)
             return inner_be._from_blocked(
-                inner, inner_be._tile_solve_K(inner, rhs_b))
+                inner, inner_be._solve_K_blocked(inner, rhs_b))
 
         V = jax.vmap(bsolve, in_axes=1, out_axes=1)(st.U)
         # C = Θd⁻¹ + Uᵀ B⁻¹ U  (SPD, (k, k)).
@@ -138,8 +140,8 @@ class SplitK1Backend(KKTBackend):
         inner_be = self._inner()
         t = inner_be._from_blocked(
             st.inner,
-            inner_be._tile_solve_K(st.inner,
-                                   inner_be._to_blocked(st.inner, r)))
+            inner_be._solve_K_blocked(st.inner,
+                                      inner_be._to_blocked(st.inner, r)))
         w = st.U.T @ t
         w = jax.scipy.linalg.solve_triangular(st.Lc, w, lower=True)
         w = jax.scipy.linalg.solve_triangular(st.Lc.T, w, lower=False)
