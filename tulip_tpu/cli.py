@@ -70,6 +70,14 @@ def main(argv=None) -> int:
         set_parameter(m, "KKT_Backend", args.KKTBackend)
 
     st = m.optimize()
+    if args.OutputLevel > 0:
+        from . import get_attribute
+        try:
+            z = get_attribute(m, "ObjectiveValue")
+            print(f"result: {st.name} objective {z!r} "
+                  f"time {m.solve_time:.3f}s")
+        except Exception:
+            print(f"result: {st.name} time {m.solve_time:.3f}s")
     return 0 if st == TerminationStatus.OPTIMAL else 1
 
 
