@@ -15,7 +15,8 @@ import scipy.sparse as sp
 import tulip_tpu as tlp
 
 
-def staircase_lp(m, mr=64, nc=96, dense_cols=0, cyclic=False, seed=0):
+def staircase_lp(m, mr=64, nc=96, dense_cols=0, cyclic=False, seed=0,
+                 dense_scale=0.5):
     """Staircase (time-structured) equality LP; ``cyclic`` adds the
     wrap-around coupling that defeats a pure band ordering;
     ``dense_cols`` adds global linking columns (the K1-fill killer)."""
@@ -34,7 +35,7 @@ def staircase_lp(m, mr=64, nc=96, dense_cols=0, cyclic=False, seed=0):
     for k in range(dense_cols):
         I.append(np.arange(m))
         J.append(np.full(m, (7 * k) % n))
-        V.append(rng.standard_normal(m) * 0.5)
+        V.append(rng.standard_normal(m) * dense_scale)
     I, J, V = map(np.concatenate, (I, J, V))
     A = sp.csr_matrix((V, (I, J)), shape=(m, n))
     u = rng.uniform(1, 3, n)

@@ -56,11 +56,24 @@ def test_large_dense_column_smw():
 
 
 @pytest.mark.slow
-def test_large_block_angular_smw():
-    """m=2032 two-stage stochastic block-angular: first-stage coupling
-    columns are dense → SMW splitting; scenario blocks tile trivially."""
+def test_large_block_angular_routes_k2():
+    """m=2080 two-stage stochastic block-angular: 64 dense first-stage
+    coupling columns. Round 4's measured dispatch routes k > 8 dense
+    columns to the direct K2 factorization (SMW's rank-k correction was
+    measured stalling at ITERATION_LIMIT from k = 24; see
+    test_probe_routes_many_dense_columns_to_k2), with forced-smw still
+    available and verified below at this k."""
     A, b, c, u = block_angular_lp()
-    _solve_and_check(A, b, c, u, "sparse-smw", "blockang2k")
+    _solve_and_check(A, b, c, u, "sparse-ldl", "blockang2k")
+
+    # Forced smw remains usable on THIS structure (its k=64 correction
+    # happens to stay accurate here thanks to the well-scaled W blocks).
+    mod = load_model(A, b, c, u, name="blockang2k-smw")
+    tlp.set_parameter(mod, "KKT_Backend", "sparse-smw")
+    assert mod.optimize() == TerminationStatus.OPTIMAL
+    z = tlp.get_attribute(mod, "ObjectiveValue")
+    z_ref = highs_optimum(A, b, c, u)
+    assert abs(z - z_ref) <= 1e-7 * max(1.0, abs(z_ref))
 
 
 @pytest.mark.slow
@@ -102,3 +115,34 @@ def test_large_dense_column_k2_sparse_ldl():
     z = tlp.get_attribute(mod, "ObjectiveValue")
     z_ref = highs_optimum(A, b, c, u)
     assert abs(z - z_ref) <= 1e-7 * max(1.0, abs(z_ref))
+
+
+@pytest.mark.slow
+def test_probe_routes_many_dense_columns_to_k2():
+    """Measured smw-vs-sparse-ldl dispatch (round 4): with MANY dense
+    columns (k=24 here) the SMW rank-k correction stalls at the
+    iteration limit while the direct K2 factorization converges — the
+    auto-probe must pick sparse-ldl from the dense-column-count signal
+    and beat forced-smw's iteration count (the reference's analogous
+    default is CHOLMOD-on-K2, src/KKT/KKT.jl:134-141)."""
+    A, b, c, u = staircase_lp(2048, dense_cols=24, seed=0,
+                              dense_scale=1.0)
+
+    mod = load_model(A, b, c, u, name="densecols24")
+    st = mod.optimize()
+    assert st == TerminationStatus.OPTIMAL
+    assert mod.kkt_backend.name == "sparse-ldl"
+    iters_auto = mod.barrier_iterations
+    z = tlp.get_attribute(mod, "ObjectiveValue")
+    z_ref = highs_optimum(A, b, c, u)
+    assert abs(z - z_ref) <= 1e-7 * max(1.0, abs(z_ref))
+
+    # Forced smw on the same LP: capped at 40 iterations, it must not
+    # reach optimality (measured: ITERATION_LIMIT at 100 too), and the
+    # probe's choice must be strictly faster in iterations.
+    mod2 = load_model(A, b, c, u, name="densecols24-smw")
+    tlp.set_parameter(mod2, "KKT_Backend", "sparse-smw")
+    tlp.set_parameter(mod2, "IPM_IterationsLimit", 40)
+    st2 = mod2.optimize()
+    assert st2 != TerminationStatus.OPTIMAL
+    assert iters_auto < mod2.barrier_iterations

@@ -133,7 +133,6 @@ class Model:
         self.timings["standard_form"] = time.time() - t_
 
         backend_name = params.KKT.Backend
-        refinement = params.KKT.RefinementSteps
         if backend_name is None and params.KKT.System in (None, "K1") \
                 and dat.A.shape[0] >= 2048:
             # Large problem: probe for exploitable structure on the host
@@ -141,29 +140,21 @@ class Model:
             # tiled sparse 7.4 ms, dense 17.2 ms per factorize+solve;
             # crossover vs dense is at m ≈ 2048).
             backend_name = _probe_structure(np.asarray(dat.A))
-            if backend_name == "sparse-smw":
-                # SMW's forward error at late-IPM Θ needs two refinement
-                # sweeps on the true system to hold 1e-8 end-to-end
-                # (measured: 25-27 IPM iters at <=1 sweep vs 8 at 2).
-                refinement = max(refinement, 2)
         if backend_name is None and params.KKT.System == "K2" \
                 and dat.A.shape[0] >= 2048:
             # Large problem on the augmented system: the tiled signed
             # blocked Cholesky exploits sparsity (CHOLMOD-on-K2 role,
             # reference default dispatch src/KKT/KKT.jl:134-141) and
             # falls back to dense-ldl internally when tiling gives no
-            # advantage. Two refinement sweeps hold 1e-8 end-to-end.
+            # advantage.
             backend_name = "sparse-ldl"
-            refinement = max(refinement, 2)
         if backend_name is None and params.KKT.System in (None, "K1") \
                 and dtype == np.float32:
             import jax
             if jax.default_backend() == "tpu":
                 # TPU f32 fast path: blocked Pallas chol+inverse kernel
-                # (falls back internally off-TPU/f64); keep >=1 refinement
-                # sweep for f32 accuracy.
+                # (falls back internally off-TPU/f64).
                 backend_name = "pallas-small"
-                refinement = max(refinement, 1)
         ipm_opts = params.IPM.resolved(dtype)
         if backend_name is None and params.KKT.System in (None, "K1") \
                 and dtype == np.float64 \
@@ -174,6 +165,18 @@ class Model:
             # forward accuracy once cond(K) ~ 1/eps near convergence; use
             # double-double-residual refinement.
             backend_name = "extended"
+        refinement = params.KKT.RefinementSteps
+        if refinement is None:
+            # Per-backend defaults, applied whether the backend was probed
+            # or user-selected (round-4 fix: an explicit
+            # KKT_Backend="sparse-smw" used to run with ZERO sweeps and
+            # stall at ITERATION_LIMIT on LPs the probe-selected identical
+            # backend solved in 13 iterations).
+            # smw/ldl: SMW's forward error at late-IPM Θ needs two sweeps
+            # on the true system to hold 1e-8 (measured: 25-27 IPM iters
+            # at <=1 sweep vs 8 at 2); pallas f32: >=1 sweep for accuracy.
+            refinement = {"sparse-smw": 2, "sparse-ldl": 2,
+                          "pallas-small": 1}.get(backend_name or "", 0)
         backend = make_backend(backend_name, params.KKT.System, refinement)
         # Introspection: which linear solver actually ran (the reference
         # prints this in the solver header, src/IPM/HSD/HSD.jl:214-230;
@@ -362,9 +365,28 @@ def _probe_structure(A_np: np.ndarray) -> Optional[str]:
     if bool(np.any(dense_cols)):
         As = A_np.copy()
         As[:, np.flatnonzero(dense_cols)] = 0.0
-        if tile_plan(As, 128) is not None:
-            return "sparse-smw"
-        return None  # dense cols and no residual sparsity: dense K1
+        if tile_plan(As, 128) is None:
+            return None  # dense cols and no residual sparsity: dense K1
+        # Measured smw-vs-sparse-ldl routing (round 4; m=2048 staircase +
+        # k dense columns, HSD f64 @1e-8, presolve scaling on, 2 sweeps
+        # both): smw matches ldl's iteration counts at k <= 8 with
+        # moderate column norms (15-18 iters) but STALLS at
+        # ITERATION_LIMIT at k = 24 (any norms) and at k = 8 when the
+        # dense columns' norms dominate (post-scaling norm ratio ~60) —
+        # the rank-k SMW correction loses the forward accuracy that two
+        # refinement sweeps can recover. The direct K2 factorization
+        # (kappa(K2) = sqrt(kappa(K1))) solved every case in 15-18
+        # iterations. Route by dense-column count and the measured
+        # norm-dominance signal; prefer smw inside its validated regime
+        # (it benches 6.1 vs 14.1 ms/iter at m=8192).
+        k = int(dense_cols.sum())
+        cnorm = np.linalg.norm(A_np, axis=0)
+        sparse_norms = cnorm[~dense_cols]
+        med = float(np.median(sparse_norms)) if sparse_norms.size else 1.0
+        ratio = float(cnorm[dense_cols].max() / max(med, 1e-300))
+        if k > 8 or (k >= 4 and ratio > 30.0):
+            return "sparse-ldl"
+        return "sparse-smw"
 
     # Density early-out: a matrix this dense cannot band or tile (the
     # planners' gates would reject it after much more host work); skip

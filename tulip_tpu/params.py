@@ -91,8 +91,11 @@ class KKTOptions:
     System: Optional[str] = None    # "K1" (normal eqs) or "K2" (augmented)
     # Iterative-refinement steps applied after each KKT solve. Essential for
     # f32/bf16 on TPU near convergence; the reference leaves this as a TODO
-    # (src/KKT/Dense/lapack.jl:117).
-    RefinementSteps: int = 0
+    # (src/KKT/Dense/lapack.jl:117). ``None`` = per-backend default
+    # (2 for sparse-smw / sparse-ldl — SMW's forward error at late-IPM Θ
+    # needs two sweeps on the true system to hold 1e-8; 1 for the f32
+    # Pallas path; 0 otherwise). Set explicitly to override.
+    RefinementSteps: Optional[int] = None
 
 
 @dataclasses.dataclass
