@@ -230,6 +230,8 @@ def batch_linprog(problems: Sequence[dict], *, dtype="float32",
         key = (bucket_dim(d[0].shape[0]), bucket_dim(d[0].shape[1]))
         buckets.setdefault(key, []).append(lane)
 
+    from .utils import bound_live_executables
+
     lane_out = {}
     for key in sorted(buckets):
         lanes = buckets[key]
@@ -239,6 +241,10 @@ def batch_linprog(problems: Sequence[dict], *, dtype="float32",
         out_b = jax.device_get(solver(backend, opts, stacked))
         for pos, lane in enumerate(lanes):
             lane_out[lane] = (out_b, pos)
+        # Each (bucket shape, batch size) is one resident compiled
+        # program; bound the process-wide accumulation
+        # (docs/xla_cpu_executable_crash.md).
+        bound_live_executables(1)
 
     results = [None] * len(problems)
     for i, (st, sol, cvec, c0, n, _) in decided.items():

@@ -52,6 +52,32 @@ def xla_cache_dir(base: str) -> str:
     return os.path.join(base, machine_fingerprint())
 
 
+_exec_budget_used = 0
+
+
+def bound_live_executables(estimate: int = 1) -> bool:
+    """Library-side guard for the XLA:CPU resident-executable crash
+    (docs/xla_cpu_executable_crash.md): callers that compile unbounded
+    numbers of distinct programs (heterogeneous ``batch_linprog`` shape
+    buckets) report each compilation here; once the process-wide budget
+    (env ``TULIP_MAX_LIVE_EXECUTABLES``, default 192) is exceeded, jax's
+    compiled-program caches are cleared. Re-solving a cleared shape
+    recompiles in seconds instead of risking a hard SIGSEGV/SIGABRT in a
+    later large compile. Returns True when a clear happened."""
+    global _exec_budget_used
+    import os
+
+    budget = int(os.environ.get("TULIP_MAX_LIVE_EXECUTABLES", "192"))
+    _exec_budget_used += estimate
+    if _exec_budget_used < budget:
+        return False
+    import jax
+
+    jax.clear_caches()
+    _exec_budget_used = 0
+    return True
+
+
 def enable_persistent_cache(base: str) -> bool:
     """Turn on jax's persistent compilation cache under a machine-keyed
     subdir of ``base`` — unless the accelerator is reached through a
