@@ -34,7 +34,7 @@ from .banded import BandedK1Backend
 from .base import KKTBackend
 from .dense import DenseK1Backend
 from .dense_ldl import DenseK2Backend
-from .extended import ExtendedK1Backend
+from .extended import ExtendedDDK1Backend, ExtendedK1Backend
 from .krylov import (CarK1Backend, CgK1Backend, CraigK1Backend,
                      CraigmrK1Backend, CrK1Backend, LsmrK1Backend,
                      LsqrK1Backend,
@@ -56,7 +56,7 @@ def register(cls: Type[KKTBackend]) -> Type[KKTBackend]:
 
 
 for _cls in (BandedK1Backend, DenseK1Backend, DenseK2Backend,
-             ExtendedK1Backend,
+             ExtendedDDK1Backend, ExtendedK1Backend,
              CarK1Backend, CgK1Backend, CraigK1Backend, CraigmrK1Backend,
              CrK1Backend,
              LsmrK1Backend, LsqrK1Backend,
@@ -98,6 +98,7 @@ __all__ = [
     "BandedK1Backend",
     "DenseK1Backend",
     "DenseK2Backend",
+    "ExtendedDDK1Backend",
     "ExtendedK1Backend",
     "CarK1Backend",
     "CgK1Backend",

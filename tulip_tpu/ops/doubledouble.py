@@ -124,6 +124,33 @@ def mul(x: DD, y: DD) -> DD:
     return fast_two_sum(ch, cl2)
 
 
+def div(x: DD, y: DD) -> DD:
+    """dd / dd (DWDivDW2, ~15u²): one f64 quotient + a dd residual
+    correction."""
+    th = x[0] / y[0]
+    r = sub(x, mul_f(y, th))
+    tl = r[0] / y[0]
+    return fast_two_sum(th, tl)
+
+
+def recip(y: DD) -> DD:
+    """1 / dd."""
+    th = 1.0 / y[0]
+    r = sub(from_f(jnp.ones_like(y[0])), mul_f(y, th))
+    tl = r[0] / y[0]
+    return fast_two_sum(th, tl)
+
+
+def sqrt_(x: DD) -> DD:
+    """sqrt of a nonnegative dd (one Newton/Heron correction of the f64
+    root: s + (x − s²)/(2s), accurate to ~3u²). x <= 0 propagates the
+    f64 sqrt's NaN/0 — callers treat NaN as factorization failure."""
+    s = jnp.sqrt(x[0])
+    r = sub(x, mul_ff(s, s))
+    t = r[0] / jnp.where(s > 0, 2.0 * s, 1.0)
+    return fast_two_sum(s, jnp.where(s > 0, t, jnp.zeros_like(t)))
+
+
 # ---------------------------------------------------------------------------
 # Reductions / linear algebra
 # ---------------------------------------------------------------------------
