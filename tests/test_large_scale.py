@@ -146,3 +146,33 @@ def test_probe_routes_many_dense_columns_to_k2():
     st2 = mod2.optimize()
     assert st2 != TerminationStatus.OPTIMAL
     assert iters_auto < mod2.barrier_iterations
+
+
+@pytest.mark.slow
+def test_probe_cached_across_resolves(monkeypatch):
+    """Modify-objective → re-optimize loops pay the O(mn) structure probe
+    once: the result is cached on the model keyed by a pattern
+    fingerprint, and invalidated when the pattern changes."""
+    import tulip_tpu.model as model_mod
+
+    calls = {"n": 0}
+    real = model_mod._probe_structure
+
+    def counting(A_np):
+        calls["n"] += 1
+        return real(A_np)
+
+    monkeypatch.setattr(model_mod, "_probe_structure", counting)
+
+    A, b, c, u = staircase_lp(2048)
+    mod = load_model(A, b, c, u, name="probe-cache")
+    assert mod.optimize() == TerminationStatus.OPTIMAL
+    assert calls["n"] == 1
+    # Value-only edit: same pattern -> no new probe.
+    tlp.set_attribute(mod, "VariableObjectiveCoeff", 2.0, index=0)
+    assert mod.optimize() == TerminationStatus.OPTIMAL
+    assert calls["n"] == 1
+    # Pattern edit (new variable in a constraint) -> probe re-runs.
+    j = mod.pbdata.add_variable([0], [1.0], 0.5, 0.0, 1.0)
+    assert mod.optimize() == TerminationStatus.OPTIMAL
+    assert calls["n"] == 2

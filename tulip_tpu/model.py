@@ -35,6 +35,7 @@ class Model:
         self.solve_time = 0.0
         self.barrier_iterations = 0
         self.kkt_backend = None  # backend instance used by the last solve
+        self._probe_cache = None  # (pattern fingerprint, backend name)
         # Per-phase wall-clock timings (the reference's TimerOutputs
         # analogue, reference: src/IPM/HSD/HSD.jl:22, @timeit annotations):
         # presolve / standard_form / ipm / extract / postsolve seconds.
@@ -49,6 +50,7 @@ class Model:
         self.solution = None
         self.solve_time = 0.0
         self.barrier_iterations = 0
+        self._probe_cache = None
 
     # ------------------------------------------------------------------
     def optimize(self) -> TerminationStatus:
@@ -139,7 +141,21 @@ class Model:
             # (measured on TPU v5e, f32 staircase m=4096: banded 5.6 ms,
             # tiled sparse 7.4 ms, dense 17.2 ms per factorize+solve;
             # crossover vs dense is at m ≈ 2048).
-            backend_name = _probe_structure(np.asarray(dat.A))
+            # The probe result is cached on the model keyed by a cheap
+            # pattern fingerprint, so modify-objective/bounds →
+            # re-optimize loops pay the O(mn) scan once; any edit that
+            # changes the nonzero pattern changes the key.
+            A_np = np.asarray(dat.A)
+            nz = A_np != 0
+            key = (A_np.shape,
+                   hash(nz.sum(axis=0).tobytes()),
+                   hash(nz.sum(axis=1).tobytes()))
+            cached = getattr(self, "_probe_cache", None)
+            if cached is not None and cached[0] == key:
+                backend_name = cached[1]
+            else:
+                backend_name = _probe_structure(A_np)
+                self._probe_cache = (key, backend_name)
         if backend_name is None and params.KKT.System == "K2" \
                 and dat.A.shape[0] >= 2048:
             # Large problem on the augmented system: the tiled signed
