@@ -176,3 +176,27 @@ def test_probe_cached_across_resolves(monkeypatch):
     j = mod.pbdata.add_variable([0], [1.0], 0.5, 0.0, 1.0)
     assert mod.optimize() == TerminationStatus.OPTIMAL
     assert calls["n"] == 2
+
+
+@pytest.mark.slow
+def test_probe_edge_routing():
+    """Probe guards (round 4): a fully dense matrix and a sparse matrix
+    with MORE dense columns than the SMW cap both take the dense-K1
+    default — routing either to a K2 backend would end at dense-ldl on
+    the (n+m)-sized augmented system, strictly worse than dense K1."""
+    import tulip_tpu.model as model_mod
+
+    rng = np.random.default_rng(0)
+    assert model_mod._probe_structure(
+        rng.standard_normal((2048, 512))) is None
+
+    A = np.zeros((2048, 3168))
+    for s in range(32):
+        A[s*64:(s+1)*64, s*96:(s+2)*96] = rng.standard_normal((64, 192))
+    A_many = A.copy()
+    A_many[:, :100] = rng.standard_normal((2048, 100))
+    assert model_mod._probe_structure(A_many) is None   # > cap
+    A_mid = A.copy()
+    A_mid[:, :24] = rng.standard_normal((2048, 24))
+    assert model_mod._probe_structure(A_mid) == "sparse-ldl"
+    assert model_mod._probe_structure(A) == "banded"

@@ -377,8 +377,22 @@ def _probe_structure(A_np: np.ndarray) -> Optional[str]:
 
     m, n = A_np.shape
     colnnz = (np.abs(A_np) > 0).sum(axis=0)
+
+    # Density early-out FIRST: a matrix this dense cannot band or tile
+    # whatever its dense-column count (the planners' gates would reject
+    # it after much more host work), and routing it to a K2 backend
+    # would end at dense-ldl on the (n+m)-sized augmented system —
+    # strictly worse than dense K1.
+    if int(colnnz.sum()) > 0.2 * m * n:
+        return None
+
     dense_cols = colnnz >= dense_threshold(m)
     if bool(np.any(dense_cols)):
+        k = int(dense_cols.sum())
+        if k > max(64, 0.02 * n):
+            # Too many "dense" columns to be structure + exceptions
+            # (the SMW backend's own cap): dense K1.
+            return None
         As = A_np.copy()
         As[:, np.flatnonzero(dense_cols)] = 0.0
         if tile_plan(As, 128) is None:
@@ -395,7 +409,6 @@ def _probe_structure(A_np: np.ndarray) -> Optional[str]:
         # iterations. Route by dense-column count and the measured
         # norm-dominance signal; prefer smw inside its validated regime
         # (it benches 6.1 vs 14.1 ms/iter at m=8192).
-        k = int(dense_cols.sum())
         cnorm = np.linalg.norm(A_np, axis=0)
         sparse_norms = cnorm[~dense_cols]
         med = float(np.median(sparse_norms)) if sparse_norms.size else 1.0
@@ -403,12 +416,6 @@ def _probe_structure(A_np: np.ndarray) -> Optional[str]:
         if k > 8 or (k >= 4 and ratio > 30.0):
             return "sparse-ldl"
         return "sparse-smw"
-
-    # Density early-out: a matrix this dense cannot band or tile (the
-    # planners' gates would reject it after much more host work); skip
-    # the RCM + symbolic probes and take the dense backend directly.
-    if int(colnnz.sum()) > 0.2 * m * n:
-        return None
 
     from .kkt.banded import rcm_bandwidth
 
