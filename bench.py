@@ -155,13 +155,14 @@ def bench_highs(raws, n_sample=128, tol=TOL):
 
 def bench_kkt_mfu(m=8192):
     """BASELINE.json primary hardware metric: dense-K1 factorize+solve
-    GFLOP/s on one chip and % of the f32-effective MXU peak
+    GFLOP/s on one chip and % of the f32-effective MXU peak, plus the
+    level-scheduled structured backend's wall-clock on the same matrix
     (see benchmarks/mfu.py for the full backend × size table)."""
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                     "benchmarks"))
     from bench_sparse import staircase
-    from mfu import chip_peak_bf16, flops_dense, measure
-    from tulip_tpu.kkt import DenseK1Backend
+    from mfu import chip_peak_bf16, flops_dense, flops_sparse, measure
+    from tulip_tpu.kkt import DenseK1Backend, SparseK1Backend
 
     A = staircase(m, np.float32)
     dt, fl, _ = measure(DenseK1Backend(inv_factor=True), A, flops_dense,
@@ -173,6 +174,15 @@ def bench_kkt_mfu(m=8192):
         out["kkt_dense_pct_f32eff"] = round(100 * fl / dt / (peak_bf16 / 6),
                                             2)
     log(f"kkt mfu (dense m={m}): {gfs:.0f} GFLOP/s on {kind}")
+    try:
+        dts, _, stname = measure(SparseK1Backend(block=128), A,
+                                 flops_sparse, iters=5)
+        if "Level" in stname:
+            out["kkt_sparse_level_ms_m8192"] = round(dts * 1e3, 2)
+            log(f"kkt sparse-level (m={m}): {dts*1e3:.2f} ms "
+                f"({dt/dts:.1f}x faster than dense)")
+    except Exception as e:
+        log(f"sparse-level probe failed: {type(e).__name__}: {e}")
     return out
 
 

@@ -171,11 +171,29 @@ def measure(be, A, flops_fn, iters=10):
         return ok, dx, dy
 
     out = jax.block_until_ready(step(st, theta_inv))   # compile
+    # Distinct pre-built inputs per iteration, materialized BEFORE the
+    # timed loop: (a) guards against request-level result caching in the
+    # relay serving the tunneled TPU (one anomalous run returned 10
+    # "executions" in 0.6 ms where one takes 88 ms), and (b) keeps the
+    # timed loop free of eager tiny-op dispatches, which cost ~20 ms each
+    # when interleaved with large programs on this relay.
+    thetas = [theta_inv * (1.0 + 1e-6 * (i + 1)) for i in range(iters)]
+    jax.block_until_ready(thetas)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(st, theta_inv)
+    for i in range(iters):
+        out = step(st, thetas[i])
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
+    gfs = flops_fn(st, m, n) / dt / 1e9
+    if gfs > 250e3:  # > any TPU's bf16 peak: a relay artifact, not physics
+        log(f"measure(): implausible {gfs:.0f} GFLOP/s — re-measuring "
+            "with per-call sync")
+        ts = []
+        for i in range(iters):
+            t1 = time.perf_counter()
+            jax.block_until_ready(step(st, thetas[i]))
+            ts.append(time.perf_counter() - t1)
+        dt = min(ts)
     return dt, flops_fn(st, m, n), type(st).__name__
 
 
