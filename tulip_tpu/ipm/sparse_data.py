@@ -1,0 +1,226 @@
+"""Sparse-first standard-form LP data: no dense (m, n) matrix, ever.
+
+This is the arbitrary-scale path — the role CHOLMOD-on-CSC plays in the
+reference (reference: src/KKT/Cholmod/sqd.jl:42-53 factorizes a
+SparseMatrixCSC of any size; src/problemData.jl:43-44 stores A as sparse
+row+col lists; src/LinearAlgebra/LinearAlgebra.jl:14-32 builds CSC from
+COO). The dense :class:`~tulip_tpu.ipm.data.LPData` caps problem size at
+O(m·n) host+device bytes; for large sparse LPs this module assembles the
+standard form **straight from COO** and stores A in the
+support-compressed tile layout the level-scheduled KKT backend already
+uses for its numeric phase (kkt/sparse.py SparseK1LevelState):
+
+- host symbolic (O(nnz + tile work)): RCM on the K = A Aᵀ pattern, nested
+  dissection over the tile graph, tile-granular fill, per-block-row
+  column support — all from the scipy CSR pattern
+  (:func:`tulip_tpu.kkt.sparse.k1_level_plan_pattern`);
+- device storage: ``Apc`` (nbr, B, smax) — each 128-row block of the
+  permuted A compressed to its column support. For an LP with ~c nnz/row
+  this is O(m·smax) bytes instead of O(m·n).
+
+Residual SpMVs (``matvec``/``rmatvec``) run as batched einsums over the
+compressed blocks — MXU-shaped, no scalar gather loops — registered via
+:func:`tulip_tpu.ipm.data.register_operator` so the HSD/MPC solvers use
+them transparently. The level-scheduled K1 backend builds its tile
+operands from the same arrays at ``setup_data`` without any dense
+round-trip.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..problem import ProblemData
+from .data import register_operator
+
+INF = float("inf")
+
+
+class SparseLPData(NamedTuple):
+    """Standard-form LP with support-compressed tile storage of A.
+
+    Array fields are a jit/vmap-safe pytree. ``segs`` is the static
+    elimination-level schedule (tuple of LevelSeg of int32 device arrays)
+    shared with the KKT backend.
+    """
+
+    Apc: jnp.ndarray        # (nbr, B, smax) permuted row blocks, compressed
+    sup_idx: jnp.ndarray    # (nbr, smax) int32 column support (pad = n)
+    perm: jnp.ndarray       # (m,) int32: position k holds original row perm[k]
+    tile_brow: jnp.ndarray  # (ntiles,) int32 block row of each K tile
+    tile_bcol: jnp.ndarray  # (ntiles,) int32 block col of each K tile
+    segs: tuple             # Tuple[LevelSeg, ...]
+    b: jnp.ndarray          # (m,)
+    c: jnp.ndarray          # (n,)
+    c0: jnp.ndarray         # scalar
+    l: jnp.ndarray          # (n,) finite values, 0 where masked
+    u: jnp.ndarray          # (n,)
+    lflag: jnp.ndarray      # (n,) {0., 1.}
+    uflag: jnp.ndarray      # (n,) {0., 1.}
+
+    @property
+    def nrow(self) -> int:
+        return self.perm.shape[0]
+
+    @property
+    def ncol(self) -> int:
+        return self.c.shape[0]
+
+
+def _matvec(dat: SparseLPData, x: jnp.ndarray) -> jnp.ndarray:
+    """A @ x over the compressed blocks (original row order)."""
+    m = dat.perm.shape[0]
+    xs = jnp.concatenate([x, jnp.zeros(1, x.dtype)])[dat.sup_idx]
+    yb = jnp.einsum("bis,bs->bi", dat.Apc, xs)
+    return jnp.zeros(m, yb.dtype).at[dat.perm].set(yb.reshape(-1)[:m])
+
+
+def _rmatvec(dat: SparseLPData, y: jnp.ndarray) -> jnp.ndarray:
+    """Aᵀ @ y via scatter-add over the supports."""
+    m = dat.perm.shape[0]
+    nbr, B, _ = dat.Apc.shape
+    n = dat.c.shape[0]
+    yb = jnp.pad(y[dat.perm], (0, nbr * B - m)).reshape(nbr, B)
+    contrib = jnp.einsum("bis,bi->bs", dat.Apc, yb)
+    return jnp.zeros(n + 1, y.dtype).at[
+        dat.sup_idx.ravel()].add(contrib.ravel())[:n]
+
+
+register_operator(SparseLPData, _matvec, _rmatvec)
+
+
+def standard_form_coo(pb: ProblemData) -> Tuple:
+    """General form → standard form in COO, never materializing dense A.
+
+    Same 5-way row case analysis as the dense
+    :func:`~tulip_tpu.ipm.data.standard_form_arrays`
+    (reference: src/IPM/ipmdata.jl:77-124); slack entries are appended to
+    the COO triplets. Returns (I, J, V, ntot, b, c, c0, l, u, objsense).
+    """
+    m, n = pb.ncon, pb.nvar
+    b = np.zeros(m)
+    sind, sval, lslack, uslack = [], [], [], []
+    lcon = np.asarray(pb.lcon, dtype=np.float64)
+    ucon = np.asarray(pb.ucon, dtype=np.float64)
+
+    for i in range(m):
+        lb, ub = lcon[i], ucon[i]
+        if lb == ub:
+            b[i] = lb
+        elif lb == -INF and ub == INF:
+            sind.append(i); sval.append(1.0)
+            lslack.append(-INF); uslack.append(INF)
+            b[i] = 0.0
+        elif lb == -INF and np.isfinite(ub):
+            sind.append(i); sval.append(1.0)
+            lslack.append(0.0); uslack.append(INF)
+            b[i] = ub
+        elif np.isfinite(lb) and ub == INF:
+            sind.append(i); sval.append(-1.0)
+            lslack.append(0.0); uslack.append(INF)
+            b[i] = lb
+        elif np.isfinite(lb) and np.isfinite(ub):
+            sind.append(i); sval.append(1.0)
+            lslack.append(0.0); uslack.append(ub - lb)
+            b[i] = ub
+        else:
+            raise ValueError(f"Invalid bounds for row {i}: [{lb}, {ub}]")
+
+    nslack = len(sind)
+    ntot = n + nslack
+    c = np.concatenate([np.asarray(pb.obj, dtype=np.float64),
+                        np.zeros(nslack)])
+    c0 = pb.obj0
+    if not pb.objsense:
+        c = -c
+        c0 = -c0
+
+    I0, J0, V0 = pb.to_coo()
+    I = np.concatenate([I0, np.asarray(sind, np.int64)])
+    J = np.concatenate([J0, n + np.arange(nslack, dtype=np.int64)])
+    V = np.concatenate([V0, np.asarray(sval, np.float64)])
+
+    l = np.concatenate([np.asarray(pb.lvar, dtype=np.float64),
+                        np.asarray(lslack, dtype=np.float64)])
+    u = np.concatenate([np.asarray(pb.uvar, dtype=np.float64),
+                        np.asarray(uslack, dtype=np.float64)])
+    return I, J, V, ntot, b, c, c0, l, u, pb.objsense
+
+
+def sparse_lp_data_from_problem(
+        pb: ProblemData, dtype=jnp.float64, block: int = 128,
+        gate: float = 0.5) -> Optional[Tuple["SparseLPData", int, bool]]:
+    """ProblemData → (SparseLPData, n_structural, objsense), or None when
+    the pattern gives the tile layout no advantage (caller falls back to
+    the dense LPData path).
+
+    Peak host memory is O(nnz + m·smax); the dense (m, n) array is never
+    formed anywhere on this path.
+    """
+    import scipy.sparse as sp
+
+    from ..kkt.sparse import k1_level_plan_pattern
+
+    I, J, V, ntot, b, c, c0, l, u, objsense = standard_form_coo(pb)
+    m = pb.ncon
+    A = sp.csr_matrix((V, (I, J)), shape=(m, ntot))
+    A.sum_duplicates()
+
+    pattern = A.copy()
+    pattern.data = np.ones_like(pattern.data, dtype=np.int32)
+    lv = k1_level_plan_pattern(pattern, (m, ntot), block, gate)
+    if lv is None:
+        return None
+
+    perm = lv["perm"]
+    sup_idx = lv["sup_idx"]          # (nbr, smax), pad = ntot
+    plan = lv["plan"]
+    B = block
+    nbr = -(-m // B)
+    smax = sup_idx.shape[1]
+
+    # Support-compressed permuted row blocks, straight from CSR slices.
+    Aperm = A[perm].tocsr()
+    Apc = np.zeros((nbr, B, smax), dtype=np.float64)
+    for j in range(nbr):
+        rows = Aperm[j * B:min((j + 1) * B, m)]
+        sup = sup_idx[j]
+        width = int(np.count_nonzero(sup < ntot))
+        blockm = rows[:, sup[:width]].toarray()
+        Apc[j, :blockm.shape[0], :width] = blockm
+
+    lf = np.isfinite(l)
+    uf = np.isfinite(u)
+    dat = SparseLPData(
+        Apc=jnp.asarray(Apc, dtype=dtype),
+        sup_idx=jnp.asarray(sup_idx, jnp.int32),
+        perm=jnp.asarray(perm, jnp.int32),
+        tile_brow=jnp.asarray(plan.tile_brow, jnp.int32),
+        tile_bcol=jnp.asarray(plan.tile_bcol, jnp.int32),
+        segs=plan.segs,
+        b=jnp.asarray(b, dtype=dtype),
+        c=jnp.asarray(c, dtype=dtype),
+        c0=jnp.asarray(c0, dtype=dtype),
+        l=jnp.asarray(np.where(lf, l, 0.0), dtype=dtype),
+        u=jnp.asarray(np.where(uf, u, 0.0), dtype=dtype),
+        lflag=jnp.asarray(lf, dtype=dtype),
+        uflag=jnp.asarray(uf, dtype=dtype),
+    )
+    return dat, pb.nvar, objsense
+
+
+def sparse_pattern_signals(pb: ProblemData) -> dict:
+    """O(nnz) pattern signals for the sparse-first routing decision
+    (the dense probe's job, without its O(m·n) host scan)."""
+    I, J, V = pb.to_coo()
+    m, n = pb.ncon, pb.nvar
+    nnz = len(V)
+    colnnz = np.bincount(J, minlength=n) if nnz else np.zeros(n, np.int64)
+    return dict(
+        nnz=nnz,
+        density=nnz / max(m * n, 1),
+        max_colnnz=int(colnnz.max()) if n else 0,
+    )

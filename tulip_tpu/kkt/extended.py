@@ -200,8 +200,13 @@ class ExtendedDDK1Backend(ExtendedK1Backend):
             Kh, Kl = K
             zj = dd.mul(dinv, dd.from_f(A[j, :]))     # d ∘ A[j,:]
             col = _dd_matvec_ddvec(A, zj[0], zj[1])
-            colh = col[0].at[j].add(regD[j])
-            return Kh.at[:, j].set(colh), Kl.at[:, j].set(col[1])
+            # Compensated diagonal add: a plain f64 add into the hi word
+            # would drop its rounding error and inject eps_f64-level (not
+            # eps_dd) error into diag(K), undercutting the beyond-f64
+            # factorization boundary this backend exists for.
+            dh, dl = dd.add_f((col[0][j], col[1][j]), regD[j])
+            return (Kh.at[:, j].set(col[0].at[j].set(dh)),
+                    Kl.at[:, j].set(col[1].at[j].set(dl)))
 
         Kh, Kl = jax.lax.fori_loop(
             0, m, acol, (jnp.zeros((m, m), A.dtype),

@@ -166,11 +166,23 @@ def k1_level_plan(A_np: np.ndarray, block: int, gate: float = 0.5,
     advantage, else a dict.
     """
     import scipy.sparse as sp
+
+    pattern = sp.csr_matrix((np.abs(A_np) > 0).astype(np.int32))
+    return k1_level_plan_pattern(pattern, A_np.shape, block, gate)
+
+
+def k1_level_plan_pattern(pattern, shape, block: int, gate: float = 0.5,
+                          sup_cap: float = 0.5):
+    """Pattern-only core of :func:`k1_level_plan`.
+
+    ``pattern`` is a scipy CSR 0/1 matrix — the only input the symbolic
+    phase needs, so the sparse-first LPData path (ipm/sparse_data.py) can
+    plan in O(nnz) without ever materializing a dense (m, n) array.
+    """
     from scipy.sparse.csgraph import reverse_cuthill_mckee
 
-    m, n = A_np.shape
+    m, n = shape
     B = block
-    pattern = sp.csr_matrix((np.abs(A_np) > 0).astype(np.int32))
     Kpat = (pattern @ pattern.T).tocsr()
     perm0 = np.asarray(reverse_cuthill_mckee(Kpat, symmetric_mode=True))
     nbr = -(-m // B)
@@ -209,7 +221,7 @@ def k1_level_plan(A_np: np.ndarray, block: int, gate: float = 0.5,
         sups.append(np.unique(rows.indices))
     smax = max((len(s) for s in sups), default=1)
     smax = max(smax, 1)
-    if smax > n // 2:
+    if smax > sup_cap * n:
         return None                # support compression gives no advantage
     sup_idx = np.full((nbr, smax), n, np.int32)
     for j, s in enumerate(sups):
@@ -291,6 +303,59 @@ class SparseK1Backend(KKTBackend):
         return "Normal equations (K1), tiled sparse Cholesky"
 
     # -- host symbolic ----------------------------------------------------
+    def setup_data(self, dat):
+        """Sparse-first LP data carries the symbolic plan and compressed
+        blocks already — build the level state from them directly, never
+        materializing dense A (ipm/sparse_data.py)."""
+        from ..ipm.sparse_data import SparseLPData
+        if isinstance(dat, SparseLPData):
+            return self._setup_from_sparse_data(dat)
+        return self.setup(dat.A)
+
+    def _setup_from_sparse_data(self, dat):
+        nbr, B, smax = dat.Apc.shape
+        n = dat.c.shape[0]
+        m = dat.perm.shape[0]
+        dt = dat.Apc.dtype
+        sup = np.asarray(dat.sup_idx)                 # (nbr, smax)
+        tb = np.asarray(dat.tile_brow)
+        tc = np.asarray(dat.tile_bcol)
+        ntiles = tb.shape[0]
+
+        # Host gather map: gmap[t, s] = position of column sup[tc[t], s]
+        # inside block row tb[t]'s support, or smax (a zero pad column)
+        # when absent. Each support row is sorted with trailing pads = n,
+        # so searchsorted per tile is O(smax log smax).
+        gmap = np.full((ntiles, smax), smax, np.int32)
+        for t in range(ntiles):
+            si = sup[tb[t]]
+            sj = sup[tc[t]]
+            pos = np.searchsorted(si, sj)
+            pos_cl = np.minimum(pos, smax - 1)
+            hit = (si[pos_cl] == sj) & (sj < n)
+            gmap[t] = np.where(hit, pos_cl, smax)
+
+        # Tile operands on device via one batched gather (no dense A):
+        # Rg0[t, s, b] = A_{tb[t]}[b, sup(tc[t])[s]].
+        Apc_ext = jnp.concatenate(
+            [dat.Apc, jnp.zeros((nbr, B, 1), dt)], axis=2)
+        Rg = jnp.take_along_axis(
+            Apc_ext[jnp.asarray(tb)],
+            jnp.asarray(gmap)[:, None, :], axis=2)    # (ntiles, B, smax)
+        return SparseK1LevelState(
+            Apc=dat.Apc,
+            sup_idx=dat.sup_idx,
+            Rg0=Rg.transpose(0, 2, 1),
+            Oc0=dat.Apc[jnp.asarray(tc)],
+            tile_bcol=dat.tile_bcol,
+            perm=dat.perm,
+            d=jnp.ones(n, dt),
+            theta_reg=jnp.ones(n, dt),
+            regD=jnp.ones((nbr, B), dt),
+            T=jnp.zeros((ntiles, B, B), dt),
+            segs=dat.segs,
+        )
+
     def setup(self, A: jnp.ndarray):
         A_np = np.asarray(A)
         m, n = A_np.shape

@@ -131,10 +131,41 @@ class Model:
 
         t_ = time.time()
         dtype = np.dtype(params.ArithmeticDtype)
-        dat, n_struct, objsense = lp_data_from_problem(pb_, dtype=dtype)
-        self.timings["standard_form"] = time.time() - t_
-
         backend_name = params.KKT.Backend
+        dat = None
+        # Sparse-first route: assemble standard form straight from COO into
+        # support-compressed tiles — the dense (m, n) array is never built,
+        # so problem size is bounded by O(nnz + m·smax) instead of O(m·n)
+        # (the CHOLMOD-at-any-scale role, reference:
+        # src/KKT/Cholmod/sqd.jl:42-53, src/problemData.jl:43-44).
+        if (params.KKT.SparseFirst is not False
+                and params.KKT.System in (None, "K1")
+                and backend_name in (None, "sparse")):
+            from .ipm.sparse_data import (sparse_lp_data_from_problem,
+                                          sparse_pattern_signals)
+            from .kkt.sparse_ldl import dense_threshold
+            attempt = params.KKT.SparseFirst is True
+            if not attempt and pb_.ncon >= params.KKT.SparseFirstThreshold:
+                sig = sparse_pattern_signals(pb_)
+                # O(nnz) routing: sparse enough to tile, and no dense
+                # column (a dense column fills K1 completely; that regime
+                # rides the SMW/K2 backends on the dense path).
+                # Density pre-gate is deliberately loose (the symbolic
+                # planner's fill/support gates are the real arbiters);
+                # it only skips the O(nnz) symbolic attempt on problems
+                # that obviously cannot tile.
+                attempt = (sig["density"] < 0.1
+                           and sig["max_colnnz"] < dense_threshold(pb_.ncon))
+            if attempt:
+                res = sparse_lp_data_from_problem(pb_, dtype=dtype)
+                if res is not None:
+                    dat, n_struct, objsense = res
+                    backend_name = "sparse"
+        if dat is None:
+            dat, n_struct, objsense = lp_data_from_problem(pb_, dtype=dtype)
+        self.timings["standard_form"] = time.time() - t_
+        sparse_first = not hasattr(dat, "A")
+
         if backend_name is None and params.KKT.System in (None, "K1") \
                 and dat.A.shape[0] >= 2048:
             # Large problem: probe for exploitable structure on the host
@@ -147,9 +178,19 @@ class Model:
             # changes the nonzero pattern changes the key.
             A_np = np.asarray(dat.A)
             nz = A_np != 0
+            # The probe routes on VALUES too (dense-column norm-dominance
+            # ratio -> sparse-ldl), so the key folds in a quantized value
+            # signal: a value-only edit that pushes dense-column norms
+            # into the measured SMW stall regime must re-probe, not reuse
+            # a stale 'sparse-smw' decision.
+            cnorm = np.linalg.norm(A_np, axis=0)
+            med = float(np.median(cnorm[cnorm > 0])) if nz.any() else 1.0
+            norm_sig = int(np.log2(max(float(cnorm.max()), 1e-300)
+                                   / max(med, 1e-300)) * 4.0)
             key = (A_np.shape,
                    hash(nz.sum(axis=0).tobytes()),
-                   hash(nz.sum(axis=1).tobytes()))
+                   hash(nz.sum(axis=1).tobytes()),
+                   norm_sig)
             cached = getattr(self, "_probe_cache", None)
             if cached is not None and cached[0] == key:
                 backend_name = cached[1]
@@ -191,8 +232,19 @@ class Model:
             # smw/ldl: SMW's forward error at late-IPM Θ needs two sweeps
             # on the true system to hold 1e-8 (measured: 25-27 IPM iters
             # at <=1 sweep vs 8 at 2); pallas f32: >=1 sweep for accuracy.
+            # extended/extended-dd: their dd-residual sweeps ARE the
+            # sub-sqrt(eps) accuracy mechanism — zero sweeps would reduce
+            # them to plain dense K1 (round-5 fix: make_backend always
+            # passes refinement_steps, so the class defaults of 2/1 were
+            # being silently overridden to 0 here).
             refinement = {"sparse-smw": 2, "sparse-ldl": 2,
-                          "pallas-small": 1}.get(backend_name or "", 0)
+                          "pallas-small": 1, "extended": 2,
+                          "extended-dd": 1}.get(backend_name or "", 0)
+            if sparse_first:
+                # Inverse-factor GEMM solves (level schedule) lose ~1-2
+                # digits vs TRSM; one sweep on the true system restores
+                # 1e-8-grade steps at any scale.
+                refinement = max(refinement, 1)
         backend = make_backend(backend_name, params.KKT.System, refinement)
         # Introspection: which linear solver actually ran (the reference
         # prints this in the solver header, src/IPM/HSD/HSD.jl:214-230;

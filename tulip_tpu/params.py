@@ -96,6 +96,16 @@ class KKTOptions:
     # needs two sweeps on the true system to hold 1e-8; 1 for the f32
     # Pallas path; 0 otherwise). Set explicitly to override.
     RefinementSteps: Optional[int] = None
+    # Sparse-first standard form: build the IPM data in support-compressed
+    # tile form straight from COO, never materializing the dense (m, n)
+    # constraint matrix (the CHOLMOD-at-any-scale role, reference:
+    # src/KKT/Cholmod/sqd.jl:42-53 + src/problemData.jl:43-44 sparse
+    # storage). ``None`` = auto (on for K1 problems with
+    # m >= SparseFirstThreshold whose pattern tiles; off otherwise);
+    # True forces the attempt (falls back to dense if the pattern does
+    # not tile); False disables.
+    SparseFirst: Optional[bool] = None
+    SparseFirstThreshold: int = 8192
 
 
 @dataclasses.dataclass
