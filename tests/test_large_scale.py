@@ -81,11 +81,12 @@ def test_large_block_angular_routes_k2():
                     reason="m=8192 solve + HiGHS oracle ≈ 7 min; "
                            "set TULIP_RUN_XL=1 to run")
 def test_xl_multiperiod_banded():
-    """m=8192 multiperiod chain (measured: ours 127 s vs HiGHS 270 s on
-    the CPU test host, parity 7e-10); also asserts host-side phases stay
+    """m=8192 multiperiod chain; since round 5 this auto-routes to the
+    sparse-first tile path (m >= SparseFirstThreshold: standard form
+    straight from COO, no dense A). Also asserts host-side phases stay
     negligible at scale."""
     A, b, c, u = multiperiod_lp(8192)
-    mod = _solve_and_check(A, b, c, u, "banded", "multiperiod8192")
+    mod = _solve_and_check(A, b, c, u, "sparse", "multiperiod8192")
     # Host-side O(nnz) phases must not balloon with problem size.
     assert mod.timings["postsolve"] < 5.0
     assert mod.timings["extract"] < 5.0

@@ -88,6 +88,13 @@ class HSDOptions:
     # accuracy everywhere).
     FastPredictor: bool = False
     FastCorrections: bool = False
+    # Drive iterations from the host (one jitted iteration per pass)
+    # instead of the fully-jitted while_loop, even with logging off.
+    # Used by the sparse-first path on TPU: the while-wrapped program
+    # trips an XLA:TPU algebraic-simplifier CHECK (compile SIGABRT),
+    # while the single-iteration program compiles and runs fine — see
+    # docs/xla_tpu_gather_cycle.md. Cost: one host sync per iteration.
+    HostLoop: bool = False
 
 
 class HSDState(NamedTuple):
@@ -578,7 +585,8 @@ def hsd_solve(dat: LPData, backend, opts: HSDOptions,
     When no logging or time limit is requested, defers to the fully-jitted
     while_loop (no host↔device sync per iteration).
     """
-    if opts.OutputLevel == 0 and log_fn is None and opts.TimeLimit == float("inf"):
+    if opts.OutputLevel == 0 and log_fn is None \
+            and opts.TimeLimit == float("inf") and not opts.HostLoop:
         # init_state runs eagerly: backends with host-side symbolic analysis
         # (e.g. the banded RCM plan) must see concrete arrays in setup.
         state0 = full_matmul_precision(init_state)(

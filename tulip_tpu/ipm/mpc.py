@@ -64,6 +64,9 @@ class MPCOptions:
     CorrectionStepShift: float = 0.3   # δ
     CorrectionGamma: float = 0.1       # γ
     OutputLevel: int = 0
+    # Host-driven iteration loop even with logging off (see
+    # HSDOptions.HostLoop / docs/xla_tpu_gather_cycle.md).
+    HostLoop: bool = False
 
 
 def mpc_residuals(dat: LPData, pt: Point):
@@ -434,7 +437,9 @@ def mpc_solve_device(backend, opts: MPCOptions, dat: LPData,
 
 def mpc_solve(dat: LPData, backend, opts: MPCOptions, log_fn=None) -> HSDState:
     """Host-driven MPC solve (reference: MPC.jl:218-351)."""
-    if opts.OutputLevel == 0 and log_fn is None and opts.TimeLimit == float("inf"):
+    if opts.OutputLevel == 0 and log_fn is None \
+            and opts.TimeLimit == float("inf") \
+            and not getattr(opts, "HostLoop", False):
         # init_state_mpc runs eagerly: backends with host-side symbolic
         # analysis (banded/tiled-sparse/SMW plans) must see concrete
         # arrays in setup.

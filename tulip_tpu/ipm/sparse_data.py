@@ -50,6 +50,9 @@ class SparseLPData(NamedTuple):
     Apc: jnp.ndarray        # (nbr, B, smax) permuted row blocks, compressed
     sup_idx: jnp.ndarray    # (nbr, smax) int32 column support (pad = n)
     perm: jnp.ndarray       # (m,) int32: position k holds original row perm[k]
+    Atc: jnp.ndarray        # (nbc, Bc, rsmax) column blocks of Aᵀ, row-
+                            # support compressed (original row order)
+    rsup_idx: jnp.ndarray   # (nbc, rsmax) int32 row support (pad = m)
     tile_brow: jnp.ndarray  # (ntiles,) int32 block row of each K tile
     tile_bcol: jnp.ndarray  # (ntiles,) int32 block col of each K tile
     segs: tuple             # Tuple[LevelSeg, ...]
@@ -79,14 +82,19 @@ def _matvec(dat: SparseLPData, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _rmatvec(dat: SparseLPData, y: jnp.ndarray) -> jnp.ndarray:
-    """Aᵀ @ y via scatter-add over the supports."""
-    m = dat.perm.shape[0]
-    nbr, B, _ = dat.Apc.shape
+    """Aᵀ @ y via the row-support-compressed COLUMN blocks — gather-only.
+
+    A scatter-add formulation over ``sup_idx`` (the transpose of
+    ``_matvec``) is mathematically equivalent but trips an XLA:TPU
+    algebraic-simplifier cycle CHECK when it appears in the body of the
+    outer IPM while_loop (SIGABRT at compile; see
+    docs/xla_tpu_gather_cycle.md). The dual compressed structure ``Atc``
+    costs one extra copy of the nonzeros and keeps the whole operator
+    path gather+einsum."""
     n = dat.c.shape[0]
-    yb = jnp.pad(y[dat.perm], (0, nbr * B - m)).reshape(nbr, B)
-    contrib = jnp.einsum("bis,bi->bs", dat.Apc, yb)
-    return jnp.zeros(n + 1, y.dtype).at[
-        dat.sup_idx.ravel()].add(contrib.ravel())[:n]
+    ys = jnp.concatenate([y, jnp.zeros(1, y.dtype)])[dat.rsup_idx]
+    out = jnp.einsum("bis,bs->bi", dat.Atc, ys)
+    return out.reshape(-1)[:n]
 
 
 register_operator(SparseLPData, _matvec, _rmatvec)
@@ -192,12 +200,30 @@ def sparse_lp_data_from_problem(
         blockm = rows[:, sup[:width]].toarray()
         Apc[j, :blockm.shape[0], :width] = blockm
 
+    # Dual structure for Aᵀ y (gather-only rmatvec): column blocks of Aᵀ
+    # compressed to their row supports, in ORIGINAL row order.
+    At = A.T.tocsr()                    # (ntot, m): row j = column j of A
+    nbc = -(-ntot // B)
+    rsups = []
+    for j in range(nbc):
+        rows = At[j * B:min((j + 1) * B, ntot)]
+        rsups.append(np.unique(rows.indices))
+    rsmax = max(max((len(s) for s in rsups), default=1), 1)
+    rsup_idx = np.full((nbc, rsmax), m, np.int32)
+    Atc = np.zeros((nbc, B, rsmax), dtype=np.float64)
+    for j, s in enumerate(rsups):
+        rsup_idx[j, :len(s)] = s
+        blockm = At[j * B:min((j + 1) * B, ntot)][:, s].toarray()
+        Atc[j, :blockm.shape[0], :len(s)] = blockm
+
     lf = np.isfinite(l)
     uf = np.isfinite(u)
     dat = SparseLPData(
         Apc=jnp.asarray(Apc, dtype=dtype),
         sup_idx=jnp.asarray(sup_idx, jnp.int32),
         perm=jnp.asarray(perm, jnp.int32),
+        Atc=jnp.asarray(Atc, dtype=dtype),
+        rsup_idx=jnp.asarray(rsup_idx, jnp.int32),
         tile_brow=jnp.asarray(plan.tile_brow, jnp.int32),
         tile_bcol=jnp.asarray(plan.tile_bcol, jnp.int32),
         segs=plan.segs,

@@ -243,7 +243,12 @@ class SparseK1LevelState(NamedTuple):
     sup_idx: jnp.ndarray      # (nbr, smax) int32 column support (pad = n)
     Rg0: jnp.ndarray          # (ntiles, smax, B) row-side tile operand
     Oc0: jnp.ndarray          # (ntiles, B, smax) col-side tile operand
-    tile_bcol: jnp.ndarray    # (ntiles,) owner block column per tile
+    sup_tile: jnp.ndarray     # (ntiles, smax) owner column's support per
+                              # tile = sup_idx[tile_bcol], precomputed at
+                              # setup: the s32 gather inside the jitted
+                              # update trips an XLA:TPU algebraic-
+                              # simplifier cycle CHECK (see
+                              # docs/xla_tpu_gather_cycle.md)
     perm: jnp.ndarray         # (m,) int32
     d: jnp.ndarray            # (n,)
     theta_reg: jnp.ndarray    # (n,)
@@ -347,7 +352,7 @@ class SparseK1Backend(KKTBackend):
             sup_idx=dat.sup_idx,
             Rg0=Rg.transpose(0, 2, 1),
             Oc0=dat.Apc[jnp.asarray(tc)],
-            tile_bcol=dat.tile_bcol,
+            sup_tile=jnp.asarray(sup[tc]),
             perm=dat.perm,
             d=jnp.ones(n, dt),
             theta_reg=jnp.ones(n, dt),
@@ -410,7 +415,7 @@ class SparseK1Backend(KKTBackend):
             sup_idx=jnp.asarray(sup_idx),
             Rg0=jnp.asarray(Rg0),
             Oc0=jnp.asarray(Oc0),
-            tile_bcol=jnp.asarray(plan.tile_bcol),
+            sup_tile=jnp.asarray(sup_idx[plan.tile_bcol]),
             perm=jnp.asarray(perm, jnp.int32),
             d=jnp.ones(n, dt),
             theta_reg=jnp.ones(n, dt),
@@ -457,7 +462,7 @@ class SparseK1Backend(KKTBackend):
         # over the CONSTANT setup-time operands: tile (i, j) = A_i diag(d)
         # A_jᵀ contracted over column j's support only; just d changes.
         d_ext = jnp.concatenate([d, jnp.zeros(1, dt)])
-        ds = d_ext[st.sup_idx[st.tile_bcol]]          # (ntiles, smax)
+        ds = d_ext[st.sup_tile]                       # (ntiles, smax)
         T = jnp.einsum("tsb,tcs,ts->tbc", st.Rg0, st.Oc0, ds)
         eye = jnp.eye(B, dtype=dt)
         T = T.at[:nbr].add(eye[None, :, :] * regDb[:, :, None])

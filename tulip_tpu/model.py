@@ -302,6 +302,17 @@ class Model:
 
     def _run_ipm(self, algo, dat, backend, ipm_opts, params, profile_ctx):
         import time
+
+        # Sparse-first data on TPU: the while-wrapped whole-solve program
+        # trips an XLA:TPU algebraic-simplifier compile CHECK (SIGABRT);
+        # the per-iteration program compiles and runs fine. Drive the
+        # loop from the host there (one sync per iteration — negligible
+        # against a large-LP iteration). See docs/xla_tpu_gather_cycle.md.
+        host_loop = False
+        if not hasattr(dat, "A"):
+            import jax
+            if jax.default_backend() == "tpu":
+                host_loop = True
         if algo == "HSD":
             opts = HSDOptions(
                 TolerancePFeas=ipm_opts.TolerancePFeas,
@@ -320,6 +331,7 @@ class Model:
                 MehrotraStart=ipm_opts.MehrotraStart,
                 FastPredictor=ipm_opts.FastPredictor,
                 FastCorrections=ipm_opts.FastCorrections,
+                HostLoop=host_loop,
             )
             t_ = time.time()
             with profile_ctx:
@@ -339,6 +351,7 @@ class Model:
                 PRegMin=ipm_opts.PRegMin,
                 DRegMin=ipm_opts.DRegMin,
                 OutputLevel=max(params.OutputLevel, ipm_opts.OutputLevel),
+                HostLoop=host_loop,
             )
             t_ = time.time()
             with profile_ctx:
