@@ -48,7 +48,8 @@ def test_golden_presolve_off(gen):
     assert abs(z - z_ref) <= 1e-7 * max(1.0, abs(z_ref))
 
 
-@pytest.mark.parametrize("backend", ["dense", "dense-ldl", "cg"])
+@pytest.mark.parametrize("backend", ["dense", "dense-ldl", "cg",
+                                     "dense-pallas"])
 def test_golden_backends(backend):
     pb = ALL_GOLDEN[0]()
     z_ref = scipy_optimum(pb)

@@ -144,34 +144,41 @@ def cr(matvec: Callable, b: jnp.ndarray, precond: Callable, rtol,
     the A-norm error — the reference's SPD family also exposes CR,
     reference: src/KKT/Krylov/defs.jl:1-17)."""
     x0 = jnp.zeros_like(b)
-    r0 = precond(b)
-    p0 = r0
-    Ar0 = matvec(r0)
-    Ap0 = Ar0
-    gamma0 = jnp.dot(r0, Ar0)
+    z0 = precond(b)              # preconditioned residual M⁻¹r
+    p0 = z0
+    Az0 = matvec(z0)
+    Ap0 = Az0
+    gamma0 = jnp.dot(z0, Az0)
     bnorm = jnp.linalg.norm(b)
     tol2 = (rtol * jnp.where(bnorm == 0, 1.0, bnorm)) ** 2
 
+    # The TRUE residual r = b − Kx is carried alongside z: testing
+    # ‖M⁻¹r‖ against rtol·‖b‖ stops orders of magnitude too early when
+    # the Jacobi diagonal is large (late-IPM Θ⁻¹ ~ 1e16), which returned
+    # junk steps and stalled the IPM at ITERATION_LIMIT (round-5 finding;
+    # this is exactly the failure class the end-to-end Krylov goldens
+    # exist to catch).
     def cond(c):
-        x, r, p, Ar, Ap, gamma, k = c
+        x, r, z, p, Az, Ap, gamma, k = c
         return (jnp.dot(r, r) > tol2) & (k < maxiter)
 
     def body(c):
-        x, r, p, Ar, Ap, gamma, k = c
+        x, r, z, p, Az, Ap, gamma, k = c
         MAp = precond(Ap)
         denom = jnp.dot(Ap, MAp)
         alpha = gamma / jnp.where(denom == 0, 1.0, denom)
         x = x + alpha * p
-        r = r - alpha * MAp
-        Ar = matvec(r)
-        gamma_new = jnp.dot(r, Ar)
+        r = r - alpha * Ap
+        z = z - alpha * MAp
+        Az = matvec(z)
+        gamma_new = jnp.dot(z, Az)
         beta = gamma_new / jnp.where(gamma == 0, 1.0, gamma)
-        p = r + beta * p
-        Ap = Ar + beta * Ap
-        return x, r, p, Ar, Ap, gamma_new, k + 1
+        p = z + beta * p
+        Ap = Az + beta * Ap
+        return x, r, z, p, Az, Ap, gamma_new, k + 1
 
     out = jax.lax.while_loop(cond, body,
-                             (x0, r0, p0, Ar0, Ap0, gamma0,
+                             (x0, b, z0, p0, Az0, Ap0, gamma0,
                               jnp.zeros((), jnp.int32)))
     return out[0]
 
@@ -647,6 +654,14 @@ class CrK1Backend(CgK1Backend):
 
 @dataclasses.dataclass(frozen=True)
 class MinresK2Backend(KKTBackend):
+    """Unpreconditioned MINRES on the raw K2 augmented system (reference
+    parity: the reference's SID Krylov solvers are also unpreconditioned,
+    src/KKT/Krylov/sid.jl:50-64). Achievable end-to-end tolerance is
+    ~1e-6 (golden-LP measurement): late-IPM K2 carries Θ⁻¹ entries up to
+    ~1e16 and the unscaled residual test cannot deliver accurate dx
+    components past that. For full 1e-8 use "sqd-minres" (the same
+    method under the natural SQD diagonal scaling) or "minres-qlp"."""
+
     name = "minres"
     systems = ("K2",)
     rtol: float = 0.0
@@ -766,7 +781,9 @@ class SymmlqK2Backend(MinresK2Backend):
     exposes SYMMLQ, reference: src/KKT/Krylov/defs.jl:9-17). Galerkin
     (minimum-error) counterpart of MINRES; kept as a conformance/fallback
     option — it spends one extra operator application per iteration on
-    true-residual stopping."""
+    true-residual stopping. Achievable end-to-end tolerance ~1e-4
+    (golden-LP measurement; Galerkin iterates lose accuracy on the
+    unscaled late-IPM K2 faster than MINRES's residual-optimal ones)."""
 
     name = "symmlq"
 
@@ -861,9 +878,16 @@ class MinaresK2Backend(MinresK2Backend):
     over x ∈ K_k(K², Kb) (a subspace of the K_2k(K, b) the eponymous
     algorithm uses; same optimality criterion, two operator applications
     per iteration). Useful when the residual of the *normal* system is the
-    quantity being driven down, e.g. noisy RHS near convergence."""
+    quantity being driven down, e.g. noisy RHS near convergence.
+
+    EXPERIMENTAL (round-5 end-to-end finding): squaring the operator
+    squares its condition number; with late-IPM κ(K2) ~ 1e8-1e16 the
+    squared system is numerically intractable in f64, and golden-LP
+    solves stall at ITERATION_LIMIT even at 1e-4 tolerances. Passes the
+    conformance kit on benign matrices only — same class as TriCG."""
 
     name = "minares"
+    experimental = True
 
     def linear_system(self) -> str:
         return "Augmented system (K2), MINARES (CR on K²)"
