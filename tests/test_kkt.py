@@ -631,3 +631,32 @@ def test_mixed_backend_blocked_path_matches_default():
     dx2, dy2 = run(MixedK1Backend())
     np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx2),
                                rtol=1e-8, atol=1e-9)
+
+
+def test_kit_sweep_catches_nd_k2_regression():
+    """The hardened kit's ill-conditioning sweep distinguishes the K2
+    schedules where the benign kit could not (VERDICT r4 item 6): at
+    m=2048 the level (ND) schedule's signed factorization fails at the
+    √eps regularization floors on the 16-decade θ sweep — the measured
+    reason sparse-ldl defaults to the RCM column schedule (BASELINE.md
+    round 4) — while the column schedule passes with ~1e-15 residuals."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent))
+    from golden_large import staircase_lp
+
+    from tulip_tpu.kkt.sparse_ldl import SparseK2Backend
+
+    A, b, c, u = staircase_lp(2048)
+    A_np = np.asarray(A.todense())
+
+    # Column schedule: passes the full kit including strict sweeps.
+    run_ls_tests(A_np, SparseK2Backend(schedule="column",
+                                       refinement_steps=2),
+                 strict_sweep=True)
+
+    # Level (ND) schedule: the strict sweep catches the regression.
+    with pytest.raises(AssertionError, match="sweep"):
+        run_ls_tests(A_np, SparseK2Backend(schedule="level",
+                                           refinement_steps=2),
+                     strict_sweep=True)

@@ -29,6 +29,11 @@ class KKTBackend:
     # Experimental backends pass the conformance kit but are NOT validated
     # for full 1e-8 end-to-end solves; make_backend warns on instantiation.
     experimental = False
+    # Gate for the conformance kit's late-IPM ill-conditioning sweeps
+    # (kkt/testkit.py): max scale-aware relative residual on the
+    # 16-decade θ sweep. Direct methods hold ≤ ~3e-7 measured; None opts
+    # out (matrix-free backends, validated end-to-end instead).
+    sweep_resid_atol = 1e-6
 
     # -- introspection (reference: src/KKT/KKT.jl:103-121) ---------------
     def arithmetic(self, state) -> str:

@@ -586,6 +586,10 @@ def tricg(A, Mdiag, Ndiag, b, c, rtol, maxiter):
 class CgK1Backend(KKTBackend):
     name = "cg"
     systems = ("K1",)
+    # Matrix-free: satisfies the Jacobi-weighted residual criterion, not
+    # the kit's uniform relative gate; validated end-to-end at measured
+    # achievable tolerances (tests/test_krylov_golden.py).
+    sweep_resid_atol = None
     rtol: float = 0.0        # 0 -> sqrt(eps(dtype))
     maxiter_factor: int = 10  # maxiter = factor * m
 
@@ -664,6 +668,7 @@ class MinresK2Backend(KKTBackend):
 
     name = "minres"
     systems = ("K2",)
+    sweep_resid_atol = None   # matrix-free; see CgK1Backend
     rtol: float = 0.0
     maxiter_factor: int = 10
 
@@ -715,6 +720,7 @@ class TricgK2Backend(KKTBackend):
     preconditioners the reference passes to Krylov.jl (sqd.jl:90-91)."""
 
     name = "tricg"
+    sweep_resid_atol = None   # matrix-free; see CgK1Backend
     systems = ("K2",)
     rtol: float = 0.0
     maxiter_factor: int = 10
@@ -1058,6 +1064,7 @@ class LsqrK1Backend(KKTBackend):
     A E⁻¹ Aᵀ and with better conditioning (κ(Ā) = √κ(K1))."""
 
     name = "lsqr"
+    sweep_resid_atol = None   # matrix-free; see CgK1Backend
     systems = ("K1",)
     rtol: float = 0.0
     maxiter_factor: int = 10
