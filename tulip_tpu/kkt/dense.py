@@ -65,6 +65,14 @@ class DenseK1Backend(KKTBackend):
     # inv_factor updates at m >= blocked_min: all super-leaf work becomes
     # GEMMs, ~2x XLA's native cholesky+TRSM at m=8192 (measured v5e).
     blocked_min: int = 4096
+    # f32 matmul pass count for THIS backend's update/solve (innermost
+    # precision context wins over the IPM's trace-time "highest" pin).
+    # "high" = 3 bf16 passes, ~1.78x the 6-pass "highest" at the m=8192
+    # MFU point (49.9 vs 88.6 ms) with IDENTICAL residuals once
+    # refinement_steps >= 2 (5.1e-7; BASELINE.md round 5). Measured
+    # REJECTED for the small-m batched bench (a tail lane blows 12 -> 54
+    # iterations at 1 sweep): opt-in for large dense factorizations only.
+    matmul_precision: str = None
 
     def arithmetic(self, state) -> str:
         return str(state.A.dtype)
@@ -85,6 +93,13 @@ class DenseK1Backend(KKTBackend):
 
     def update(self, state: DenseK1State, theta_inv, regP, regD,
                ) -> Tuple[DenseK1State, jnp.ndarray]:
+        if self.matmul_precision is not None:
+            with jax.default_matmul_precision(self.matmul_precision):
+                return self._update_impl(state, theta_inv, regP, regD)
+        return self._update_impl(state, theta_inv, regP, regD)
+
+    def _update_impl(self, state: DenseK1State, theta_inv, regP, regD,
+                     ) -> Tuple[DenseK1State, jnp.ndarray]:
         A = state.A
         theta_reg = theta_inv + regP
         d = 1.0 / theta_reg
@@ -131,5 +146,10 @@ class DenseK1Backend(KKTBackend):
         return dx, dy
 
     def solve(self, state: DenseK1State, xi_p, xi_d):
+        if self.matmul_precision is not None:
+            with jax.default_matmul_precision(self.matmul_precision):
+                dx, dy = self._base_solve(state, xi_p, xi_d)
+                return self._refine(state, xi_p, xi_d, dx, dy,
+                                    self._base_solve)
         dx, dy = self._base_solve(state, xi_p, xi_d)
         return self._refine(state, xi_p, xi_d, dx, dy, self._base_solve)
