@@ -98,17 +98,39 @@ def test_sparse_first_auto_threshold():
     assert mod._probe_cache is None
 
 
-def test_sparse_first_dense_column_stays_dense_path():
-    """A dense linking column breaks K1 tiling: auto routing must refuse
-    sparse-first and leave the decision to the dense probe (SMW/K2)."""
-    mod, _ = _model(2048, dense_cols=1)
+def test_sparse_first_dense_column_smw_end_to_end():
+    """Dense linking columns WITHIN the measured SMW regime (k <= 8,
+    norm ratio <= 30) ride the sparse-first path too: they split out as
+    the explicit skinny U at the data level (A = As + U e^T), the tile
+    plan covers the sparse part, and the SMW backend solves to 1e-8 —
+    still never materializing a dense (m, n) array."""
+    mod, (A, b, c, u) = _model(2048, dense_cols=2)
     sig = sparse_pattern_signals(mod.pbdata)
-    from tulip_tpu.kkt.sparse_ldl import dense_threshold
-    assert sig["max_colnnz"] >= dense_threshold(mod.pbdata.ncon)
+    assert sig["n_dense_cols"] == 2
+    mod.params.KKT.SparseFirstThreshold = 2048
+    st = mod.optimize()
+    assert mod.kkt_backend.name == "sparse-smw"
+    # The state's full operator is the SparseLPData, not a dense matrix.
+    import jax.numpy as jnp
+    from tulip_tpu.ipm.sparse_data import SparseLPData
+    assert isinstance(mod.solver_state.kkt.A, SparseLPData)
+    assert st == TerminationStatus.OPTIMAL
+    z = tlp.get_attribute(mod, "ObjectiveValue")
+    z_ref = highs_optimum(A, b, c, u)
+    assert abs(z - z_ref) <= 1e-7 * max(1.0, abs(z_ref))
+
+
+def test_sparse_first_many_dense_columns_fall_back():
+    """Beyond the SMW regime (k > 8: measured ITERATION_LIMIT stalls,
+    BASELINE.md r4) auto routing refuses sparse-first and the dense
+    probe routes to the direct K2 factorization."""
+    mod, _ = _model(2048, dense_cols=24)
+    sig = sparse_pattern_signals(mod.pbdata)
+    assert sig["n_dense_cols"] == 24
     mod.params.KKT.SparseFirstThreshold = 2048
     mod.params.IPM.IterationsLimit = 2
     mod.optimize()
-    assert mod.kkt_backend.name == "sparse-smw"
+    assert mod.kkt_backend.name == "sparse-ldl"
 
 
 @pytest.mark.slow

@@ -53,6 +53,13 @@ class SparseLPData(NamedTuple):
     Atc: jnp.ndarray        # (nbc, Bc, rsmax) column blocks of Aᵀ, row-
                             # support compressed (original row order)
     rsup_idx: jnp.ndarray   # (nbc, rsmax) int32 row support (pad = m)
+    U: jnp.ndarray          # (m, k) dense columns split out of the tile
+                            # structure (k = 0 when none): A = As + U eᵀ
+    dense_idx: jnp.ndarray  # (k,) int32 their column indices
+    dense_onehot: jnp.ndarray  # (n, k) one-hot columns — dense-column
+                            # contributions re-enter Aᵀy as a GEMM
+                            # instead of a scatter (docs/
+                            # xla_tpu_gather_cycle.md)
     tile_brow: jnp.ndarray  # (ntiles,) int32 block row of each K tile
     tile_bcol: jnp.ndarray  # (ntiles,) int32 block col of each K tile
     segs: tuple             # Tuple[LevelSeg, ...]
@@ -74,11 +81,15 @@ class SparseLPData(NamedTuple):
 
 
 def _matvec(dat: SparseLPData, x: jnp.ndarray) -> jnp.ndarray:
-    """A @ x over the compressed blocks (original row order)."""
+    """A @ x over the compressed blocks (original row order); the split
+    dense columns contribute through the skinny (m, k) GEMV."""
     m = dat.perm.shape[0]
     xs = jnp.concatenate([x, jnp.zeros(1, x.dtype)])[dat.sup_idx]
     yb = jnp.einsum("bis,bs->bi", dat.Apc, xs)
-    return jnp.zeros(m, yb.dtype).at[dat.perm].set(yb.reshape(-1)[:m])
+    out = jnp.zeros(m, yb.dtype).at[dat.perm].set(yb.reshape(-1)[:m])
+    if dat.U.shape[1]:
+        out = out + dat.U @ x[dat.dense_idx]
+    return out
 
 
 def _rmatvec(dat: SparseLPData, y: jnp.ndarray) -> jnp.ndarray:
@@ -93,8 +104,10 @@ def _rmatvec(dat: SparseLPData, y: jnp.ndarray) -> jnp.ndarray:
     path gather+einsum."""
     n = dat.c.shape[0]
     ys = jnp.concatenate([y, jnp.zeros(1, y.dtype)])[dat.rsup_idx]
-    out = jnp.einsum("bis,bs->bi", dat.Atc, ys)
-    return out.reshape(-1)[:n]
+    out = jnp.einsum("bis,bs->bi", dat.Atc, ys).reshape(-1)[:n]
+    if dat.U.shape[1]:
+        out = out + dat.dense_onehot @ (dat.U.T @ y)
+    return out
 
 
 register_operator(SparseLPData, _matvec, _rmatvec)
@@ -160,10 +173,17 @@ def standard_form_coo(pb: ProblemData) -> Tuple:
 
 def sparse_lp_data_from_problem(
         pb: ProblemData, dtype=jnp.float64, block: int = 128,
-        gate: float = 0.5) -> Optional[Tuple["SparseLPData", int, bool]]:
+        gate: float = 0.5, split_dense_cols: bool = True,
+        ) -> Optional[Tuple["SparseLPData", int, bool]]:
     """ProblemData → (SparseLPData, n_structural, objsense), or None when
     the pattern gives the tile layout no advantage (caller falls back to
     the dense LPData path).
+
+    ``split_dense_cols``: columns with ≥ dense_threshold(m) nonzeros are
+    split out as the explicit skinny ``U`` (A = As + U eᵀ) so the tile
+    structure is planned on the sparse part only — the same splitting
+    the SMW backend performs (kkt/splitting.py), done here once at the
+    data level so dense-column LPs keep the no-dense-(m, n) guarantee.
 
     Peak host memory is O(nnz + m·smax); the dense (m, n) array is never
     formed anywhere on this path.
@@ -171,11 +191,28 @@ def sparse_lp_data_from_problem(
     import scipy.sparse as sp
 
     from ..kkt.sparse import k1_level_plan_pattern
+    from ..kkt.sparse_ldl import dense_threshold
 
     I, J, V, ntot, b, c, c0, l, u, objsense = standard_form_coo(pb)
     m = pb.ncon
     A = sp.csr_matrix((V, (I, J)), shape=(m, ntot))
     A.sum_duplicates()
+
+    # Dense-column split (on the standard-form matrix; slacks are never
+    # dense). The tile plan and both compressed structures are built from
+    # the SPARSE part As; U carries the dense columns explicitly.
+    dense_idx = np.zeros(0, np.int64)
+    if split_dense_cols:
+        colnnz = np.diff(A.tocsc().indptr)
+        dense_idx = np.flatnonzero(colnnz >= dense_threshold(m))
+        if dense_idx.size > max(64, 0.02 * ntot):
+            return None          # too many to be structure + exceptions
+    if dense_idx.size:
+        U_np = np.asarray(A[:, dense_idx].todense())
+        A = A.tolil()
+        A[:, dense_idx] = 0.0
+        A = A.tocsr()
+        A.eliminate_zeros()
 
     pattern = A.copy()
     pattern.data = np.ones_like(pattern.data, dtype=np.int32)
@@ -216,6 +253,11 @@ def sparse_lp_data_from_problem(
         blockm = At[j * B:min((j + 1) * B, ntot)][:, s].toarray()
         Atc[j, :blockm.shape[0], :len(s)] = blockm
 
+    k = dense_idx.size
+    onehot = np.zeros((ntot, k), dtype=np.float64)
+    if k:
+        onehot[dense_idx, np.arange(k)] = 1.0
+
     lf = np.isfinite(l)
     uf = np.isfinite(u)
     dat = SparseLPData(
@@ -224,6 +266,10 @@ def sparse_lp_data_from_problem(
         perm=jnp.asarray(perm, jnp.int32),
         Atc=jnp.asarray(Atc, dtype=dtype),
         rsup_idx=jnp.asarray(rsup_idx, jnp.int32),
+        U=(jnp.asarray(U_np, dtype=dtype) if k
+           else jnp.zeros((m, 0), dtype=dtype)),
+        dense_idx=jnp.asarray(dense_idx, jnp.int32),
+        dense_onehot=jnp.asarray(onehot, dtype=dtype),
         tile_brow=jnp.asarray(plan.tile_brow, jnp.int32),
         tile_bcol=jnp.asarray(plan.tile_bcol, jnp.int32),
         segs=plan.segs,
@@ -239,14 +285,29 @@ def sparse_lp_data_from_problem(
 
 
 def sparse_pattern_signals(pb: ProblemData) -> dict:
-    """O(nnz) pattern signals for the sparse-first routing decision
-    (the dense probe's job, without its O(m·n) host scan)."""
+    """O(nnz) pattern + value signals for the sparse-first routing
+    decision (the dense probe's job, without its O(m·n) host scan):
+    density, dense-column count, and the dense-column norm-dominance
+    ratio the measured smw-vs-K2 rule uses (model.py)."""
+    from ..kkt.sparse_ldl import dense_threshold
+
     I, J, V = pb.to_coo()
     m, n = pb.ncon, pb.nvar
     nnz = len(V)
     colnnz = np.bincount(J, minlength=n) if nnz else np.zeros(n, np.int64)
+    dense_cols = colnnz >= dense_threshold(m) if nnz else \
+        np.zeros(n, bool)
+    norm_ratio = 0.0
+    if nnz and dense_cols.any():
+        cnorm = np.sqrt(np.bincount(J, V * V, minlength=n))
+        sparse_norms = cnorm[~dense_cols]
+        med = float(np.median(sparse_norms[sparse_norms > 0])) \
+            if (sparse_norms > 0).any() else 1.0
+        norm_ratio = float(cnorm[dense_cols].max() / max(med, 1e-300))
     return dict(
         nnz=nnz,
         density=nnz / max(m * n, 1),
         max_colnnz=int(colnnz.max()) if n else 0,
+        n_dense_cols=int(dense_cols.sum()),
+        dense_norm_ratio=norm_ratio,
     )

@@ -42,7 +42,10 @@ from .sparse_ldl import dense_threshold
 
 class SplitK1State(NamedTuple):
     inner: SparseK1State      # tiled factorization of B = AsΘsAsᵀ + Rd
-    A: jnp.ndarray            # (m, n) FULL constraint matrix
+    A: jnp.ndarray            # (m, n) FULL constraint matrix — or, on the
+                              # sparse-first path, the SparseLPData whose
+                              # registered operators provide the full
+                              # A·x / Aᵀ·y (never a dense (m, n) array)
     U: jnp.ndarray            # (m, k) the dense columns
     dense_idx: jnp.ndarray    # (k,) int32 column indices of U in A
     V: jnp.ndarray            # (m, k) B⁻¹ U after update
@@ -80,6 +83,47 @@ class SplitK1Backend(KKTBackend):
                 "SMW dense-column splitting")
 
     # -- host symbolic ----------------------------------------------------
+    def setup_data(self, dat):
+        """Sparse-first LP data: the dense columns were already split out
+        at the data level (ipm/sparse_data.py, A = As + U eᵀ with the
+        tile plan on As); build the inner level state from the compressed
+        blocks and keep the SparseLPData itself as the full operator."""
+        from ..ipm.sparse_data import SparseLPData
+        if not isinstance(dat, SparseLPData):
+            return self.setup(dat.A)
+        if dat.U.shape[1] == 0:
+            # No dense columns: plain tiled path via the inner backend.
+            return self._inner().setup_data(dat)
+        inner = SparseK1Backend(
+            block=dat.Apc.shape[1], refinement_steps=0,
+            schedule="level")._setup_from_sparse_data(dat)
+        m = dat.perm.shape[0]
+        n = dat.c.shape[0]
+        k = dat.U.shape[1]
+        dt = dat.Apc.dtype
+        return SplitK1State(
+            inner=inner,
+            A=dat,
+            U=dat.U,
+            dense_idx=dat.dense_idx,
+            V=jnp.zeros((m, k), dt),
+            Lc=jnp.eye(k, dtype=dt),
+            theta_reg=jnp.ones(n, dt),
+            regD=jnp.ones(m, dt),
+        )
+
+    def _full_mv(self, Aor, x):
+        if isinstance(Aor, jnp.ndarray):
+            return Aor @ x
+        from ..ipm.data import matvec
+        return matvec(Aor, x)
+
+    def _full_rmv(self, Aor, y):
+        if isinstance(Aor, jnp.ndarray):
+            return Aor.T @ y
+        from ..ipm.data import rmatvec
+        return rmatvec(Aor, y)
+
     def setup(self, A: jnp.ndarray):
         A_np = np.asarray(A)
         m, n = A_np.shape
@@ -110,6 +154,12 @@ class SplitK1Backend(KKTBackend):
     def update(self, state, theta_inv, regP, regD):
         if isinstance(state, DenseK1State):
             return self._dense().update(state, theta_inv, regP, regD)
+        if isinstance(state, (SparseK1State, SparseK1LevelState)):
+            # No-dense-column SparseLPData routed to the plain tiled path.
+            return SparseK1Backend(
+                schedule=self.schedule,
+                refinement_steps=self.refinement_steps).update(
+                    state, theta_inv, regP, regD)
         st = state
         inner_be = self._inner()
         theta_reg = theta_inv + regP
@@ -149,12 +199,28 @@ class SplitK1Backend(KKTBackend):
 
     def _base_solve(self, st: SplitK1State, xi_p, xi_d):
         d = 1.0 / st.theta_reg
-        dy = self._k1_solve(st, xi_p + st.A @ (d * xi_d))
-        dx = d * (st.A.T @ dy - xi_d)
+        dy = self._k1_solve(st, xi_p + self._full_mv(st.A, d * xi_d))
+        dx = d * (self._full_rmv(st.A, dy) - xi_d)
         return dx, dy
 
     def solve(self, state, xi_p, xi_d):
         if isinstance(state, DenseK1State):
             return self._dense().solve(state, xi_p, xi_d)
-        dx, dy = self._base_solve(state, xi_p, xi_d)
-        return self._refine(state, xi_p, xi_d, dx, dy, self._base_solve)
+        if isinstance(state, (SparseK1State, SparseK1LevelState)):
+            # setup_data routed a no-dense-column SparseLPData to the
+            # plain tiled path.
+            return SparseK1Backend(
+                schedule=self.schedule,
+                refinement_steps=self.refinement_steps).solve(
+                    state, xi_p, xi_d)
+        st = state
+        dx, dy = self._base_solve(st, xi_p, xi_d)
+        # Refinement on the TRUE augmented system via the full operators
+        # (the base-class _refine assumes a dense state.A).
+        for _ in range(self.refinement_steps):
+            rd = xi_d - (-(st.theta_reg * dx) + self._full_rmv(st.A, dy))
+            rp = xi_p - (self._full_mv(st.A, dx) + st.regD * dy)
+            ddx, ddy = self._base_solve(st, rp, rd)
+            dx = dx + ddx
+            dy = dy + ddy
+        return dx, dy

@@ -140,27 +140,32 @@ class Model:
         # src/KKT/Cholmod/sqd.jl:42-53, src/problemData.jl:43-44).
         if (params.KKT.SparseFirst is not False
                 and params.KKT.System in (None, "K1")
-                and backend_name in (None, "sparse")):
+                and backend_name in (None, "sparse", "sparse-smw")):
             from .ipm.sparse_data import (sparse_lp_data_from_problem,
                                           sparse_pattern_signals)
-            from .kkt.sparse_ldl import dense_threshold
             attempt = params.KKT.SparseFirst is True
             if not attempt and pb_.ncon >= params.KKT.SparseFirstThreshold:
                 sig = sparse_pattern_signals(pb_)
-                # O(nnz) routing: sparse enough to tile, and no dense
-                # column (a dense column fills K1 completely; that regime
-                # rides the SMW/K2 backends on the dense path).
+                # O(nnz) routing: sparse enough to tile. Dense columns
+                # are allowed WITHIN the measured SMW regime (k <= 8 and
+                # norm-dominance ratio <= 30, the round-4 smw-vs-K2 rule)
+                # — they split out as the explicit U at the data level;
+                # beyond that regime the direct K2 factorization is the
+                # validated backend and rides the dense path.
                 # Density pre-gate is deliberately loose (the symbolic
                 # planner's fill/support gates are the real arbiters);
                 # it only skips the O(nnz) symbolic attempt on problems
                 # that obviously cannot tile.
-                attempt = (sig["density"] < 0.1
-                           and sig["max_colnnz"] < dense_threshold(pb_.ncon))
+                smw_ok = (sig["n_dense_cols"] == 0
+                          or (sig["n_dense_cols"] <= 8
+                              and sig["dense_norm_ratio"] <= 30.0))
+                attempt = sig["density"] < 0.1 and smw_ok
             if attempt:
                 res = sparse_lp_data_from_problem(pb_, dtype=dtype)
                 if res is not None:
                     dat, n_struct, objsense = res
-                    backend_name = "sparse"
+                    backend_name = ("sparse-smw" if dat.U.shape[1]
+                                    else "sparse")
         if dat is None:
             dat, n_struct, objsense = lp_data_from_problem(pb_, dtype=dtype)
         self.timings["standard_form"] = time.time() - t_
