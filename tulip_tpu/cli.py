@@ -48,6 +48,9 @@ def main(argv=None) -> int:
     p.add_argument("--Presolve", type=int, default=1)
     p.add_argument("--Method", choices=["HSD", "MPC"], default="HSD")
     p.add_argument("--KKTBackend", default=None)
+    p.add_argument("--SparseFirst", type=int, choices=[0, 1], default=None,
+                   help="force (1) / disable (0) the sparse-first data "
+                        "path; default: auto above KKT_SparseFirstThreshold")
     p.add_argument("--Dtype", default="float64")
     p.add_argument("--OutputLevel", type=int, default=1)
     args = p.parse_args(argv)
@@ -68,6 +71,8 @@ def main(argv=None) -> int:
     set_parameter(m, "IPM_Algorithm", args.Method)
     if args.KKTBackend:
         set_parameter(m, "KKT_Backend", args.KKTBackend)
+    if args.SparseFirst is not None:
+        set_parameter(m, "KKT_SparseFirst", bool(args.SparseFirst))
 
     st = m.optimize()
     if args.OutputLevel > 0:
