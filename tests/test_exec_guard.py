@@ -30,6 +30,7 @@ def _problems(count, seed, size_lo=3, size_hi=120):
     return out, truths
 
 
+@pytest.mark.slow
 def test_heterogeneous_400_solve_stress():
     """400 heterogeneous solves in one process without the conftest
     fixture's between-module cache clearing: bucketing bounds the number

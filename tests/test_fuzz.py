@@ -125,7 +125,9 @@ def verify_dual_ray(pb, sol, tol=1e-5) -> bool:
     return val > tol * nrm
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize(
+    "seed", list(range(3)) + [pytest.param(i, marks=pytest.mark.slow)
+                              for i in range(3, 6)])
 def test_fuzz_status_classification(seed):
     rng = np.random.default_rng(100 + seed)
     counts = {"optimal": 0, "infeasible": 0, "unbounded": 0}

@@ -63,10 +63,14 @@ def test_golden_backends(backend):
     assert abs(z - z_ref) <= tol * max(1.0, abs(z_ref))
 
 
-def test_golden_mixed_precision_1e8():
+@pytest.mark.parametrize(
+    "subset", [ALL_GOLDEN[:3],
+               pytest.param(ALL_GOLDEN[3:], marks=pytest.mark.slow)],
+    ids=["head", "tail"])
+def test_golden_mixed_precision_1e8(subset):
     """f32 factorization + f64 refinement reaches 1e-8 objective parity
     (the TPU-native answer to f64-only factorizations)."""
-    for gen in ALL_GOLDEN:
+    for gen in subset:
         pb = gen()
         z_ref = scipy_optimum(pb)
         m = tlp.Model()

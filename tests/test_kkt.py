@@ -633,6 +633,7 @@ def test_mixed_backend_blocked_path_matches_default():
                                rtol=1e-8, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_kit_sweep_catches_nd_k2_regression():
     """The hardened kit's ill-conditioning sweep distinguishes the K2
     schedules where the benign kit could not (VERDICT r4 item 6): at

@@ -129,6 +129,7 @@ def test_level_k1_trsm_variant():
     assert res < 1e-9
 
 
+@pytest.mark.slow
 def test_level_k2_optin_f64():
     """K2's level schedule is OPT-IN (quasi-definite growth under ND —
     see SparseK2Backend.schedule); at f64 on a moderate problem with
@@ -164,6 +165,7 @@ def test_banded_level_delegation():
     assert res < 1e-9
 
 
+@pytest.mark.slow
 def test_smw_level_inner_end_to_end():
     """Full HSD solve through SMW-with-level-inner vs HiGHS."""
     from scipy.optimize import linprog

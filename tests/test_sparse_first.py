@@ -98,6 +98,7 @@ def test_sparse_first_auto_threshold():
     assert mod._probe_cache is None
 
 
+@pytest.mark.slow
 def test_sparse_first_dense_column_smw_end_to_end():
     """Dense linking columns WITHIN the measured SMW regime (k <= 8,
     norm ratio <= 30) ride the sparse-first path too: they split out as
@@ -118,6 +119,18 @@ def test_sparse_first_dense_column_smw_end_to_end():
     z = tlp.get_attribute(mod, "ObjectiveValue")
     z_ref = highs_optimum(A, b, c, u)
     assert abs(z - z_ref) <= 1e-7 * max(1.0, abs(z_ref))
+
+
+def test_sparse_first_dense_column_smw_routing():
+    """Cheap default-tier check of the SMW sparse-first routing (the
+    full solve + HiGHS parity runs in the slow tier above)."""
+    mod, _ = _model(2048, dense_cols=2)
+    mod.params.KKT.SparseFirstThreshold = 2048
+    mod.params.IPM.IterationsLimit = 2
+    mod.optimize()
+    assert mod.kkt_backend.name == "sparse-smw"
+    from tulip_tpu.ipm.sparse_data import SparseLPData
+    assert isinstance(mod.solver_state.kkt.A, SparseLPData)
 
 
 def test_sparse_first_many_dense_columns_fall_back():

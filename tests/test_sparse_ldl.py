@@ -194,7 +194,8 @@ def test_smw_split_late_ipm_stress():
     assert np.max(np.abs(rp)) < 1e-8
 
 
-@pytest.mark.parametrize("algo", ["hsd", "mpc"])
+@pytest.mark.parametrize(
+    "algo", ["hsd", pytest.param("mpc", marks=pytest.mark.slow)])
 def test_smw_end_to_end_dense_column_lp(algo):
     """Full solve through the SMW splitting backend on a staircase LP
     with a dense linking column, objective vs HiGHS to 1e-8 — under both
@@ -263,7 +264,8 @@ def test_make_backend_sparse_ldl_and_smw():
     assert isinstance(be, SplitK1Backend)
 
 
-@pytest.mark.parametrize("algo", ["hsd", "mpc"])
+@pytest.mark.parametrize(
+    "algo", ["hsd", pytest.param("mpc", marks=pytest.mark.slow)])
 def test_sparse_ldl_end_to_end_dense_column_lp(algo):
     """Full IPM solve through the tiled K2 signed blocked Cholesky on a
     staircase LP with a dense linking column, objective vs HiGHS to 1e-8.
