@@ -97,7 +97,8 @@ class Model:
                 # Presolve solved the problem (reference: model.jl:105-119).
                 sol0 = Solution(pb.ncon, pb.nvar)
                 postsolve(sol0, ps.solution, ps)
-                _validate_certificates(pb, sol0)
+                _validate_certificates(pb, sol0,
+                                       tol=_certificate_tol(params))
                 self.solution = sol0
                 self.status = st
                 self.solve_time = time.time() - t0
@@ -124,7 +125,8 @@ class Model:
                 self.solution = sol_outer
             else:
                 self.solution = sol_inner
-            _validate_certificates(pb, self.solution)
+            _validate_certificates(pb, self.solution,
+                                   tol=_certificate_tol(params))
             self.status = st
             self.solve_time = time.time() - t0
             return self.status
@@ -299,7 +301,8 @@ class Model:
             self.solution = sol_outer
         else:
             self.solution = sol_inner
-        _validate_certificates(pb, self.solution)
+        _validate_certificates(pb, self.solution,
+                               tol=_certificate_tol(params, dtype))
 
         self.status = TerminationStatus(int(state.status))
         self.solve_time = time.time() - t0
@@ -496,6 +499,18 @@ def _probe_structure(A_np: np.ndarray) -> Optional[str]:
     if tile_plan(A_np, 128) is not None:
         return "sparse"
     return None
+
+
+def _certificate_tol(params, dtype=None) -> float:
+    """Validation gate scaled from the solve's resolved tolerances
+    (round-4 review: a hard-coded 1e-5 gated an f32 @3e-4 run and an
+    extended @1e-12 run identically). The IPM certifies rays at
+    ~ToleranceIFeas in scaled norms; a 100x margin absorbs the
+    postsolve/unscaling amplification, floored at 1e3·eps(dtype)."""
+    import numpy as np
+    dtype = np.dtype(dtype or params.ArithmeticDtype)
+    ifeas = params.IPM.resolved(dtype).ToleranceIFeas
+    return max(100.0 * float(ifeas), 1e3 * float(np.finfo(dtype).eps))
 
 
 def _validate_certificates(pb: ProblemData, sol: Solution,
