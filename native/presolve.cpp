@@ -368,6 +368,13 @@ struct Engine {
         }
 
         double y = obj[j] / aij;
+        // Infinite priced row bound -> objective unbounded along the
+        // singleton direction (mirrors presolve.py; see its comment).
+        double priced = (y >= 0) ? lr : ur;
+        if (y != 0.0 && !std::isfinite(priced)) {
+            dual_infeasible_cert(j, ((y > 0) ? -1.0 : 1.0) / aij);
+            return;
+        }
         obj0 += (y >= 0) ? y * lr : y * ur;
         std::vector<int32_t> rind;
         std::vector<double> rval;

@@ -89,3 +89,26 @@ def test_normal_solve_unaffected():
     m = _small_model()
     assert m.optimize() == TerminationStatus.OPTIMAL
     assert np.isclose(tlp.get_attribute(m, "ObjectiveValue"), 1.0)
+
+
+def test_certificate_tol_scales_with_resolved_options():
+    """The ray-validation gate follows the solve's tolerances and dtype
+    instead of a hard-coded 1e-5 (round-4 review)."""
+    import numpy as np
+
+    from tulip_tpu import Parameters
+    from tulip_tpu.model import _certificate_tol
+
+    p = Parameters()
+    assert abs(_certificate_tol(p) - 100 * np.sqrt(np.finfo(np.float64).eps)
+               ) < 1e-12
+
+    p.ArithmeticDtype = "float32"
+    p.IPM.ToleranceIFeas = 3e-4
+    assert _certificate_tol(p) == pytest.approx(3e-2)
+
+    p2 = Parameters()
+    for f in ("TolerancePFeas", "ToleranceDFeas",
+              "ToleranceRGap", "ToleranceIFeas"):
+        setattr(p2.IPM, f, 1e-12)
+    assert _certificate_tol(p2) == pytest.approx(1e-10)

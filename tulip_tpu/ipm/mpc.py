@@ -329,7 +329,18 @@ def update_status_mpc(dat: LPData, opts: MPCOptions, norms: DataNorms,
 
     p_feas = rho_p <= opts.TolerancePFeas
     d_feas = rho_d <= opts.ToleranceDFeas
-    optimal = p_feas & d_feas & (rho_g <= opts.ToleranceRGap)
+    # Divergence guard (round-5 fuzz finding): on an unbounded LP the
+    # iterate runs off along the recession direction with Ax = b intact;
+    # the RELATIVE gap/residual tests — everything divided by
+    # (1 + |pobj|) — then fire spuriously once |pobj| ~ 1/eps and MPC
+    # declared a wrong OPTIMAL with x ~ inf. An optimal claim now
+    # requires finite objectives and an iterate within 1/eps; otherwise
+    # the loop continues to ITERATION_LIMIT or the (weaker, reference-
+    # parity) infeasibility tests below fire.
+    diverge = jnp.asarray(1.0, pt.x.dtype) / jnp.finfo(pt.x.dtype).eps
+    finite = (jnp.isfinite(pobj) & jnp.isfinite(dobj)
+              & (inf_norm(pt.x) < diverge))
+    optimal = p_feas & d_feas & (rho_g <= opts.ToleranceRGap) & finite
 
     ray_nrm = jnp.maximum(
         inf_norm(matvec(dat, pt.x)),

@@ -423,6 +423,20 @@ class PresolveData:
                 return  # not implied free
 
         y = self.obj[j] / aij
+        # The dual y prices row i's activity t into the objective as y·t
+        # with t ∈ [lr, ur]; minimization drives t to lr when y > 0 and
+        # to ur when y < 0. If THAT bound is infinite the objective is
+        # unbounded along the singleton direction — emit the dual-
+        # infeasibility certificate (ray: xj = d_t/aij with t moving
+        # toward the infinite bound; implied-freeness guarantees xj's
+        # bound on that side is infinite too). The reference absorbs
+        # y·(±inf) into the objective constant and reports a garbage
+        # "optimal" −inf here (free_column_singleton.jl:90) — a round-5
+        # fuzz finding, fixed rather than reproduced.
+        priced = lr if y >= 0 else ur
+        if y != 0.0 and not math.isfinite(priced):
+            self._dual_infeasible_cert(j, (-1.0 if y > 0 else 1.0) / aij)
+            return
         self.obj0 += y * lr if y >= 0 else y * ur
         rind, rval = [], []
         for k, aik in row.items():
