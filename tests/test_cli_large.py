@@ -61,3 +61,16 @@ def test_cli_mpc_on_large(tmp_path, capsys):
     out = _roundtrip_cli(tmp_path, capsys, A, b, c, u, "cli-mpc2048",
                          extra_args=["--Method", "MPC"])
     assert "Optimizer info (MPC)" in out
+
+
+def test_cli_sparse_first_flag(tmp_path, capsys):
+    """--SparseFirst 1 forces the sparse-first data path through the full
+    CLI pipeline (reader → COO standard form → tile plan → level solve);
+    objective parity with HiGHS at 1e-8."""
+    A, b, c, u = staircase_lp(2048)
+    out = _roundtrip_cli(tmp_path, capsys, A, b, c, u, "sfcli2048",
+                         extra_args=("--SparseFirst", "1"))
+    # --SparseFirst 0 on the same instance: dense path (probe -> banded).
+    A2, b2, c2, u2 = staircase_lp(2048, seed=1)
+    _roundtrip_cli(tmp_path, capsys, A2, b2, c2, u2, "dncli2048",
+                   extra_args=("--SparseFirst", "0"))
